@@ -1,0 +1,148 @@
+"""Index subsystem tests: packing, suffix array, FM-index vs brute force."""
+
+import numpy as np
+import pytest
+
+from megapath_tpu.index import (
+    FMIndex,
+    build_fm_index,
+    decode_seq,
+    encode_seq,
+    pack_fasta,
+    revcomp,
+    suffix_array,
+)
+from megapath_tpu.index.suffix import validate_sa
+from megapath_tpu.io.fastq import FastqRecord
+
+
+def _rand_codes(n, seed=0):
+    return np.random.default_rng(seed).integers(0, 4, size=n).astype(np.uint8)
+
+
+def test_encode_decode():
+    assert decode_seq(encode_seq("ACGT")) == "ACGT"
+    np.testing.assert_array_equal(encode_seq("ACGTN"), [0, 1, 2, 3, 2])  # N->G
+    np.testing.assert_array_equal(revcomp(encode_seq("ACGT")), encode_seq("ACGT"))
+    assert decode_seq(revcomp(encode_seq("AACG"))) == "CGTT"
+
+
+def test_pack_fasta_offsets_and_amb():
+    recs = [
+        FastqRecord("s1", "ACGTNNACGT", "", "desc one"),
+        FastqRecord("s2", "GGGG", "", ""),
+    ]
+    ref = pack_fasta(recs)
+    assert ref.total_len == 14
+    assert ref.names == ["s1", "s2"]
+    assert ref.annotations[0] == "s1 desc one"
+    np.testing.assert_array_equal(ref.offsets, [0, 10, 14])
+    np.testing.assert_array_equal(ref.ambiguous, [[4, 6]])
+    seq_idx, local = ref.local_pos(np.array([0, 9, 10, 13]))
+    np.testing.assert_array_equal(seq_idx, [0, 0, 1, 1])
+    np.testing.assert_array_equal(local, [0, 9, 0, 3])
+
+
+@pytest.mark.parametrize("n", [1, 2, 10, 257, 1000])
+def test_suffix_array_matches_naive(n):
+    codes = _rand_codes(n, seed=n)
+    sa = suffix_array(codes)
+    naive = sorted(range(n), key=lambda i: codes[i:].tobytes())
+    np.testing.assert_array_equal(sa, naive)
+    assert validate_sa(codes, sa)
+
+
+def _brute_find(codes, pat):
+    """All text positions where pat occurs (numpy rolling compare)."""
+    n, m = len(codes), len(pat)
+    if m == 0 or m > n:
+        return []
+    hits = []
+    for i in range(n - m + 1):
+        if (codes[i : i + m] == pat).all():
+            hits.append(i)
+    return hits
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_backward_search_matches_brute(seed):
+    codes = _rand_codes(700, seed)
+    fm = build_fm_index(codes, sa_interval=4, lut_k=4)
+    rng = np.random.default_rng(seed + 100)
+    for trial in range(25):
+        m = int(rng.integers(1, 12))
+        if rng.random() < 0.7:  # sample from the text so hits exist
+            p0 = int(rng.integers(0, len(codes) - m))
+            pat = codes[p0 : p0 + m].copy()
+        else:
+            pat = rng.integers(0, 4, size=m).astype(np.uint8)
+        lo, hi = np.array([0]), np.array([fm.n + 1])
+        for c in pat[::-1]:
+            lo, hi = fm.extend_backward(lo, hi, np.array([c]))
+        want = sorted(_brute_find(codes, pat))
+        assert int(hi[0] - lo[0]) == len(want)
+        if len(want):
+            got = sorted(fm.locate(np.arange(lo[0], hi[0])).tolist())
+            assert got == want
+
+
+def test_backward_search_batched():
+    codes = _rand_codes(500, 9)
+    fm = build_fm_index(codes, sa_interval=4, lut_k=0)
+    pats = np.stack([codes[i : i + 8] for i in range(0, 400, 13)])
+    B = len(pats)
+    lo = np.zeros(B, dtype=np.int64)
+    hi = np.full(B, fm.n + 1, dtype=np.int64)
+    for j in range(7, -1, -1):
+        lo, hi = fm.extend_backward(lo, hi, pats[:, j])
+    for b in range(B):
+        want = _brute_find(codes, pats[b])
+        assert int(hi[b] - lo[b]) == len(want)
+
+
+def test_lut_matches_backward_search():
+    codes = _rand_codes(2000, 5)
+    k = 5
+    fm = build_fm_index(codes, sa_interval=4, lut_k=k)
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        pat = rng.integers(0, 4, size=k).astype(np.uint8)
+        lo, hi = np.array([0]), np.array([fm.n + 1])
+        for c in pat[::-1]:
+            lo, hi = fm.extend_backward(lo, hi, np.array([c]))
+        kmer = 0
+        for c in pat:
+            kmer = kmer * 4 + int(c)
+        glo, ghi = fm.lut_interval(np.array([kmer]))
+        assert (int(glo[0]), int(ghi[0])) == (int(lo[0]), int(hi[0])) or (
+            ghi[0] <= glo[0] and hi[0] <= lo[0]
+        )
+
+
+def test_lut_short_suffix_exclusion():
+    # text ending in AAAA: k-mer AAAA bucket must exclude short suffixes
+    codes = encode_seq("CGTACGAAAA")
+    fm = build_fm_index(codes, sa_interval=1, lut_k=4)
+    kmer = 0  # AAAA
+    lo, hi = fm.lut_interval(np.array([kmer]))
+    pat = encode_seq("AAAA")
+    assert int(hi[0] - lo[0]) == len(_brute_find(codes, pat)) == 1
+
+
+def test_locate_full_vs_sampled():
+    codes = _rand_codes(300, 11)
+    fm1 = build_fm_index(codes, sa_interval=1, lut_k=0)
+    fm8 = build_fm_index(codes, sa_interval=8, lut_k=0)
+    rows = np.arange(1, fm1.n + 1)
+    np.testing.assert_array_equal(fm1.locate(rows), fm8.locate(rows))
+
+
+def test_save_load_roundtrip(tmp_path):
+    codes = _rand_codes(400, 13)
+    fm = build_fm_index(codes, sa_interval=4, lut_k=4)
+    p = str(tmp_path / "fm.npz")
+    fm.save(p)
+    fm2 = FMIndex.load(p)
+    rows = np.arange(1, fm.n + 1, 7)
+    np.testing.assert_array_equal(fm.locate(rows), fm2.locate(rows))
+    assert fm2.lut_k == 4
