@@ -1,0 +1,198 @@
+"""Batched affine-gap local/semi-global DP extension (XLA reference impl).
+
+Replaces the reference's 32-lane AVX2 kernel
+(/root/reference/soap4/CPU_DP.cpp GenerateDPTable) with a batch-first
+formulation: candidates (read window x reference window) are scanned
+over read positions; each step is elementwise VPU work on a (batch,
+ref_window) slab plus one prefix-max along the window axis.
+
+Scoring contract (soap4-nt2.ini [DP], CPU_DP.cpp:119-120): match=+1
+(fixed), mismatch=-2, gap open=-3 (cost of the FIRST gap base), gap
+extend=-1 per further base. With the reference's clip caps (130 >= read
+length, soap4.ini [Clipping]) its "semi-global with soft clips" DP is
+exactly affine local alignment; hits are kept when
+score >= max(cutoff_ratio*len, threshold) per end
+(DV-DPfunctions.cpp:3439-3440, definitions.h:166-167).
+
+Key algebraic step: within one read column, the vertical gap chain
+E[i] = max(E[i-1]+ge, H[i-1]+go) may use H *without* its E term because
+go < ge makes re-opening from a gap cell never optimal; E then becomes
+a prefix-max of (H_noE[i] + go - i*ge), removing the in-column
+sequential dependency.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(10**6)  # -inf surrogate that survives int32 adds
+
+
+class DPParams(NamedTuple):
+    match: int = 1
+    mismatch: int = -2
+    gap_open: int = -3  # first gap base
+    gap_extend: int = -1
+
+
+class DPResult(NamedTuple):
+    score: jnp.ndarray  # int32 [B] best local score
+    end_ref: jnp.ndarray  # int32 [B] ref index AFTER the last aligned base
+    end_read: jnp.ndarray  # int32 [B] read index AFTER the last aligned base
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def sw_align(
+    reads: jnp.ndarray,  # uint8/int32 [B, R] read codes
+    refs: jnp.ndarray,  # uint8/int32 [B, W] ref window codes
+    read_lens: jnp.ndarray,  # int32 [B]
+    ref_lens: jnp.ndarray,  # int32 [B]
+    params: DPParams = DPParams(),
+) -> DPResult:
+    """Batched affine-gap local alignment: score + end cell per candidate."""
+    B, R = reads.shape
+    W = refs.shape[1]
+    match = jnp.int32(params.match)
+    mm = jnp.int32(params.mismatch)
+    go = jnp.int32(params.gap_open)
+    ge = jnp.int32(params.gap_extend)
+
+    refs = refs.astype(jnp.int32)
+    reads = reads.astype(jnp.int32)
+    row_idx = jnp.arange(W, dtype=jnp.int32)[None, :]  # (1, W)
+    row_valid = row_idx < ref_lens[:, None]  # (B, W)
+    # decay-compensation term for the prefix-max trick
+    decay = row_idx * ge  # (1, W) broadcast
+
+    def step(carry, j):
+        H_prev, F_prev, best, best_i, best_j = carry
+        read_c = jax.lax.dynamic_slice_in_dim(reads, j, 1, axis=1)  # (B,1)
+        sub = jnp.where(refs == read_c, match, mm)  # (B, W)
+
+        # F: gap in ref (consume read), elementwise from previous column
+        F = jnp.maximum(H_prev + go, F_prev + ge)
+        # M: diagonal from previous column shifted down one ref row
+        H_shift = jnp.pad(H_prev[:, :-1], ((0, 0), (1, 0)))
+        M = H_shift + sub
+        H_noE = jnp.maximum(jnp.maximum(M, F), 0)
+        # E: gap in read (consume ref) via prefix-max along the window:
+        # E[w] = max_{w'<w} H_noE[w'] + go + (w-1-w')*ge
+        Y = H_noE + go - decay  # (B, W)
+        Ycum = jax.lax.cummax(Y, axis=1)
+        Yshift = jnp.pad(Ycum[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
+        E = Yshift + decay - ge
+        H = jnp.maximum(H_noE, E)
+
+        col_valid = j < read_lens  # (B,)
+        Hv = jnp.where(row_valid & col_valid[:, None], H, 0)
+        col_best = jnp.max(Hv, axis=1)
+        col_arg = jnp.argmax(Hv, axis=1).astype(jnp.int32)
+        better = col_best > best
+        best = jnp.where(better, col_best, best)
+        best_i = jnp.where(better, col_arg + 1, best_i)
+        best_j = jnp.where(better, j + 1, best_j)
+
+        H = jnp.where(col_valid[:, None], H, H_prev)
+        F = jnp.where(col_valid[:, None], F, F_prev)
+        return (H, F, best, best_i, best_j), None
+
+    H0 = jnp.zeros((B, W), dtype=jnp.int32)
+    F0 = jnp.full((B, W), NEG, dtype=jnp.int32)
+    z = jnp.zeros(B, dtype=jnp.int32)
+    (H, F, best, best_i, best_j), _ = jax.lax.scan(
+        step, (H0, F0, z, z, z), jnp.arange(R, dtype=jnp.int32)
+    )
+    return DPResult(score=best, end_ref=best_i, end_read=best_j)
+
+
+# ---------------------------------------------------------------------------
+# Oracle + traceback (host-side, for tests and CIGAR of reported hits)
+# ---------------------------------------------------------------------------
+
+
+def sw_align_oracle(
+    read: np.ndarray, ref: np.ndarray, params: DPParams = DPParams()
+) -> Tuple[int, int, int]:
+    """O(R*W) scalar reference. Returns (score, end_ref, end_read) with
+    first-encountered-max tie-breaking in (j, i) scan order."""
+    R, W = len(read), len(ref)
+    H = np.zeros((W + 1, R + 1), dtype=np.int64)
+    E = np.full((W + 1, R + 1), NEG, dtype=np.int64)
+    F = np.full((W + 1, R + 1), NEG, dtype=np.int64)
+    best, bi, bj = 0, 0, 0
+    for j in range(1, R + 1):
+        for i in range(1, W + 1):
+            E[i, j] = max(E[i - 1, j] + params.gap_extend, H[i - 1, j] + params.gap_open)
+            F[i, j] = max(F[i, j - 1] + params.gap_extend, H[i, j - 1] + params.gap_open)
+            s = params.match if read[j - 1] == ref[i - 1] else params.mismatch
+            H[i, j] = max(0, H[i - 1, j - 1] + s, E[i, j], F[i, j])
+            if H[i, j] > best:
+                best, bi, bj = int(H[i, j]), i, j
+    return best, bi, bj
+
+
+def sw_traceback(
+    read: np.ndarray, ref: np.ndarray, end_ref: int, end_read: int,
+    params: DPParams = DPParams(),
+) -> Tuple[int, int, str, int]:
+    """Recompute the DP up to the end cell and trace back.
+
+    Returns (start_ref, start_read, cigar, edit_distance) where cigar
+    covers read[start_read:end_read] with soft clips added by callers.
+    Host-side: runs only on reported hits (a tiny fraction of DP work).
+    """
+    R, W = int(end_read), int(end_ref)
+    read = np.asarray(read[:R], dtype=np.int64)
+    ref = np.asarray(ref[:W], dtype=np.int64)
+    H = np.zeros((W + 1, R + 1), dtype=np.int64)
+    E = np.full((W + 1, R + 1), NEG, dtype=np.int64)
+    F = np.full((W + 1, R + 1), NEG, dtype=np.int64)
+    for j in range(1, R + 1):
+        sub = np.where(ref == read[j - 1], params.match, params.mismatch)
+        for i in range(1, W + 1):
+            E[i, j] = max(E[i - 1, j] + params.gap_extend, H[i - 1, j] + params.gap_open)
+            F[i, j] = max(F[i, j - 1] + params.gap_extend, H[i, j - 1] + params.gap_open)
+            H[i, j] = max(0, H[i - 1, j - 1] + sub[i - 1], E[i, j], F[i, j])
+    i, j = W, R
+    ops: list = []
+    state = "H"
+    while i > 0 and j > 0 and not (state == "H" and H[i, j] == 0):
+        if state == "H":
+            s = params.match if read[j - 1] == ref[i - 1] else params.mismatch
+            if H[i, j] == H[i - 1, j - 1] + s:
+                ops.append("M" if read[j - 1] == ref[i - 1] else "X")
+                i, j = i - 1, j - 1
+            elif H[i, j] == E[i, j]:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":  # deletion from read (ref consumed)
+            ops.append("D")
+            if E[i, j] == H[i - 1, j] + params.gap_open:
+                state = "H"
+            i -= 1
+        else:  # F: insertion to read (read consumed)
+            ops.append("I")
+            if F[i, j] == H[i, j - 1] + params.gap_open:
+                state = "H"
+            j -= 1
+    ops.reverse()
+    cigar = _runlength(ops)
+    edit = sum(1 for o in ops if o in "XID")
+    return i, j, cigar, edit
+
+
+def _runlength(ops: list) -> str:
+    out = []
+    for o in ops:
+        sym = "M" if o in ("M", "X") else o
+        if out and out[-1][1] == sym:
+            out[-1][0] += 1
+        else:
+            out.append([1, sym])
+    return "".join(f"{n}{s}" for n, s in out)

@@ -7,12 +7,20 @@ happen only in bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment injects the axon TPU platform
+# (sitecustomize sets JAX_PLATFORMS=axon and the plugin overrides env
+# vars); tests must run on virtual CPU devices, so force the platform
+# through jax.config AFTER import — that is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
