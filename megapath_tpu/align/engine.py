@@ -1,0 +1,456 @@
+"""The batch alignment engine: seed -> pair -> DP -> hits.
+
+Replaces soap4's per-batch stage sequence (soap3_dp_pair_align,
+/root/reference/soap4/alignment.cpp:29-355): deep-DP on paired
+candidates, single-end DP for leftover reads, insert-window mate
+rescue, and unpaired output. All stages operate on flat numpy/JAX
+arrays; the DP runs as one batched device call per window-width class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from megapath_tpu.align.pairing import Candidates, pair_candidates
+from megapath_tpu.align.params import AlignParams
+from megapath_tpu.align.seeding import (
+    SeedPositions,
+    decode_seeds,
+    make_walkers_fast,
+    mmp_seed,
+)
+from megapath_tpu.index.fm import FMIndex
+from megapath_tpu.index.pack import COMPLEMENT, PackedReference
+from megapath_tpu.ops.dp import DPParams, sw_align
+
+OFF_TEXT_CODE = 4  # never equals a read code -> forced mismatch
+
+
+@dataclass
+class BatchHits:
+    """Flat per-alignment hit table for one read-pair batch."""
+
+    read: np.ndarray  # int32 pair index
+    end: np.ndarray  # int8 0 = first mate, 1 = second
+    seq: np.ndarray  # int32 reference sequence index
+    score: np.ndarray  # int32 normalized score (paired => sum of ends)
+    raw_score: np.ndarray  # int32 own-end DP score
+    start: np.ndarray  # int64 text start (global coords)
+    stop: np.ndarray  # int64 text end (exclusive)
+    strand: np.ndarray  # int8 0=+, 1=-
+    paired: np.ndarray  # bool properly paired on same sequence
+
+    @classmethod
+    def empty(cls) -> "BatchHits":
+        z = np.zeros(0)
+        i32, i8, i64 = z.astype(np.int32), z.astype(np.int8), z.astype(np.int64)
+        return cls(i32, i8, i32.copy(), i32.copy(), i32.copy(), i64, i64.copy(), i8.copy(), z.astype(bool))
+
+    @classmethod
+    def concat(cls, parts: List["BatchHits"]) -> "BatchHits":
+        parts = [p for p in parts if len(p.read)]
+        if not parts:
+            return cls.empty()
+        return cls(*[np.concatenate([getattr(p, f) for p in parts]) for f in
+                     ("read", "end", "seq", "score", "raw_score", "start",
+                      "stop", "strand", "paired")])
+
+    def __len__(self) -> int:
+        return len(self.read)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def extract_windows(
+    codes: np.ndarray, starts: np.ndarray, width: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather ref windows [start, start+width) with off-text cells
+    marked OFF_TEXT_CODE. Returns (windows, clipped_starts, lens)."""
+    n = len(codes)
+    starts = np.asarray(starts, dtype=np.int64)
+    idx = starts[:, None] + np.arange(width)
+    valid = (idx >= 0) & (idx < n)
+    win = np.full((len(starts), width), OFF_TEXT_CODE, dtype=np.uint8)
+    win[valid] = codes[idx[valid]]
+    return win, starts, np.full(len(starts), width, dtype=np.int32)
+
+
+def _revcomp_rows(reads: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row reverse complement within each row's valid length."""
+    n, L = reads.shape
+    j = np.arange(L)[None, :]
+    src = np.asarray(lens, np.int64)[:, None] - 1 - j
+    ok = src >= 0
+    src = np.clip(src, 0, L - 1)
+    rc = COMPLEMENT[np.take_along_axis(reads, src, axis=1)]
+    return np.where(ok, rc, 0).astype(np.uint8)
+
+
+def _batched_dp(
+    reads: np.ndarray,
+    read_lens: np.ndarray,
+    windows: np.ndarray,
+    win_lens: np.ndarray,
+    params: AlignParams,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One device DP call; returns numpy (score, end_ref, end_read)."""
+    dp = DPParams(params.match, params.mismatch, params.gap_open, params.gap_extend)
+    res = sw_align(reads, windows, read_lens.astype(np.int32),
+                   win_lens.astype(np.int32), params=dp)
+    return (np.asarray(res.score), np.asarray(res.end_ref), np.asarray(res.end_read))
+
+
+def _exact_starts(
+    reads: np.ndarray,
+    windows: np.ndarray,
+    end_ref: np.ndarray,
+    end_read: np.ndarray,
+    scores: np.ndarray,
+    params: AlignParams,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Start cells via a second DP on reversed prefixes.
+
+    Aligning reversed read[:end_read] vs reversed window[:end_ref]
+    reproduces the same optimal score; its end cell is the distance
+    from the forward end back to the start.
+    """
+    B, R = reads.shape
+    W = windows.shape[1]
+    j = np.arange(R)[None, :]
+    src = np.asarray(end_read, np.int64)[:, None] - 1 - j
+    rev_reads = np.where(src >= 0, np.take_along_axis(reads, np.clip(src, 0, R - 1), 1), 0).astype(np.uint8)
+    i = np.arange(W)[None, :]
+    wsrc = np.asarray(end_ref, np.int64)[:, None] - 1 - i
+    rev_wins = np.where(
+        wsrc >= 0,
+        np.take_along_axis(windows, np.clip(wsrc, 0, W - 1), 1),
+        OFF_TEXT_CODE,
+    ).astype(np.uint8)
+    s2, er2, ej2 = _batched_dp(
+        rev_reads, end_read.astype(np.int32), rev_wins, end_ref.astype(np.int32), params
+    )
+    start_ref = end_ref - er2
+    start_read = end_read - ej2
+    return start_ref, start_read
+
+
+class AlignEngine:
+    """One NT-shard aligner instance."""
+
+    def __init__(self, ref: PackedReference, fm: FMIndex, params: AlignParams):
+        self.ref = ref
+        self.fm = fm
+        self.params = params
+
+    # ------------------------------------------------------------------
+    def seed_positions(
+        self, reads: np.ndarray, lens: np.ndarray
+    ) -> SeedPositions:
+        walkers, wlens = make_walkers_fast(reads, lens)
+        seeds = mmp_seed(walkers, wlens, self.fm, self.params.mmp)
+        return decode_seeds(seeds, self.fm, lens, len(reads), self.params.mmp)
+
+    # ------------------------------------------------------------------
+    def align_pairs(
+        self,
+        reads1: np.ndarray,
+        lens1: np.ndarray,
+        reads2: np.ndarray,
+        lens2: np.ndarray,
+    ) -> BatchHits:
+        params = self.params
+        n = len(reads1)
+        L = max(reads1.shape[1], reads2.shape[1])
+        allr = np.zeros((2 * n, L), dtype=np.uint8)
+        allr[:n, : reads1.shape[1]] = reads1
+        allr[n:, : reads2.shape[1]] = reads2
+        all_lens = np.concatenate([lens1, lens2]).astype(np.int32)
+
+        sp = self.seed_positions(allr, all_lens)
+        m1 = sp.read < n
+        sp1 = SeedPositions(sp.read[m1], sp.strand[m1], sp.pos[m1], sp.coverage[m1])
+        m2 = ~m1
+        sp2 = SeedPositions(
+            (sp.read[m2] - n).astype(np.int32), sp.strand[m2], sp.pos[m2], sp.coverage[m2]
+        )
+
+        cands = pair_candidates(sp1, sp2, lens1, lens2, params)
+        paired_hits, aligned_pairs = self._deep_dp(
+            cands, allr, all_lens, n
+        )
+
+        # leftover pairs -> single-end DP + mate rescue + unpaired
+        todo = np.setdiff1d(np.arange(n), aligned_pairs)
+        single_hits = BatchHits.empty()
+        if len(todo):
+            single_hits = self._single_and_rescue(
+                todo, sp1, sp2, allr, all_lens, n
+            )
+        return BatchHits.concat([paired_hits, single_hits])
+
+    # ------------------------------------------------------------------
+    def _deep_dp(
+        self,
+        cands: Candidates,
+        allr: np.ndarray,
+        all_lens: np.ndarray,
+        n: int,
+    ) -> Tuple[BatchHits, np.ndarray]:
+        params = self.params
+        C = len(cands)
+        if C == 0:
+            return BatchHits.empty(), np.zeros(0, dtype=np.int64)
+
+        # left leg: + strand; right leg: - strand (revcomp'd read)
+        left_read_idx = np.where(cands.left_is_read2, cands.pair + n, cands.pair)
+        right_read_idx = np.where(cands.left_is_read2, cands.pair, cands.pair + n)
+        lL = all_lens[left_read_idx]
+        lR = all_lens[right_read_idx]
+        margin_l = np.where(lL > 100, 30, 25)
+        margin_r = np.where(lR > 100, 30, 25)
+
+        Lmax = int(all_lens.max(initial=1))
+        Wwin = _round_up(Lmax + 2 * 30 + 2, 64)
+
+        left_reads = allr[left_read_idx]
+        right_reads = _revcomp_rows(allr[right_read_idx], lR)
+
+        lwin, lstart, lwl = extract_windows(
+            self.ref.codes, cands.left_pos - margin_l, Wwin
+        )
+        rwin, rstart, rwl = extract_windows(
+            self.ref.codes, cands.right_pos - margin_r, Wwin
+        )
+
+        reads_b = np.concatenate([left_reads, right_reads])
+        lens_b = np.concatenate([lL, lR]).astype(np.int32)
+        wins_b = np.concatenate([lwin, rwin])
+        wlens_b = np.concatenate([lwl, rwl]).astype(np.int32)
+        score, e_ref, e_read = _batched_dp(reads_b, lens_b, wins_b, wlens_b, params)
+
+        s1, s2 = score[:C], score[C:]
+        thr_l = np.maximum((params.cutoff_ratio * lL).astype(np.int64),
+                           params.cutoff_lower_bound)
+        thr_r = np.maximum((params.cutoff_ratio * lR).astype(np.int64),
+                           params.cutoff_lower_bound)
+        keep = (s1 >= thr_l) & (s2 >= thr_r)
+        kidx = np.flatnonzero(keep)
+        if len(kidx) == 0:
+            return BatchHits.empty(), np.zeros(0, dtype=np.int64)
+
+        both = np.concatenate([kidx, kidx + C])
+        sr, er_, ej_ = score[both], e_ref[both], e_read[both]
+        st_ref, st_read = _exact_starts(
+            reads_b[both], wins_b[both], er_, ej_, sr, params
+        )
+        win_start = np.concatenate([lstart[kidx], rstart[kidx]])
+        g_start = win_start + st_ref
+        g_stop = win_start + er_
+
+        K = len(kidx)
+        seq_s = self.ref.seq_of_pos(g_start)
+        seq_e = self.ref.seq_of_pos(np.maximum(g_stop - 1, g_start))
+        ok_bound = (seq_s == seq_e) & (g_start >= 0)
+        seq_idx = seq_s.astype(np.int32)
+
+        # layout: first K rows = left legs of kept cands, next K = right
+        pair_idx = cands.pair[kidx]
+        flip = cands.left_is_read2[kidx]
+        end_of = np.concatenate([np.where(flip, 1, 0), np.where(flip, 0, 1)]).astype(np.int8)
+        strand = np.concatenate([np.zeros(K, np.int8), np.ones(K, np.int8)])
+        read_col = np.concatenate([pair_idx, pair_idx]).astype(np.int32)
+        raw = sr.astype(np.int32)
+
+        # normalizeScore (BGS-IO.cpp:1949-1963): same-seq both-valid
+        # pairs get the summed score on both ends
+        same = ok_bound[:K] & ok_bound[K:] & (seq_idx[:K] == seq_idx[K:])
+        summed = raw[:K] + raw[K:]
+        norm = raw.copy()
+        norm[:K] = np.where(same, summed, raw[:K])
+        norm[K:] = np.where(same, summed, raw[K:])
+        paired = np.concatenate([same, same])
+
+        keep_rows = ok_bound
+        hits = BatchHits(
+            read=read_col[keep_rows],
+            end=end_of[keep_rows],
+            seq=seq_idx[keep_rows],
+            score=norm[keep_rows],
+            raw_score=raw[keep_rows],
+            start=g_start[keep_rows],
+            stop=g_stop[keep_rows],
+            strand=strand[keep_rows],
+            paired=paired[keep_rows],
+        )
+        aligned = np.unique(pair_idx)
+        return hits, aligned
+
+    # ------------------------------------------------------------------
+    def _single_and_rescue(
+        self,
+        todo: np.ndarray,
+        sp1: SeedPositions,
+        sp2: SeedPositions,
+        allr: np.ndarray,
+        all_lens: np.ndarray,
+        n: int,
+    ) -> BatchHits:
+        """Single-end DP on leftover reads' seed positions, then mate
+        rescue within the insert window (alignment.cpp:141-296 flow)."""
+        params = self.params
+        todo_set = np.zeros(n, dtype=bool)
+        todo_set[todo] = True
+
+        recs: List[BatchHits] = []
+        singles: List[Tuple[int, int, int, int, int, int]] = []
+        # (pair, end, strand, g_start, g_stop, score)
+
+        for end, sp in ((0, sp1), (1, sp2)):
+            m = todo_set[sp.read]
+            if not m.any():
+                continue
+            reads_idx = sp.read[m] + end * n
+            strands = sp.strand[m]
+            pos = sp.pos[m]
+            rl = all_lens[reads_idx]
+            margin = np.where(rl > 100, 30, 25)
+            Wwin = _round_up(int(rl.max(initial=1)) + 62, 64)
+            # + strand: forward read; - strand: revcomp
+            fwd = allr[reads_idx]
+            seqs = np.where(
+                (strands == 0)[:, None], fwd, _revcomp_rows(fwd, rl)
+            ).astype(np.uint8)
+            win, wstart, wlen = extract_windows(self.ref.codes, pos - margin, Wwin)
+            score, e_ref, e_read = _batched_dp(seqs, rl.astype(np.int32), win, wlen, params)
+            thr = np.maximum((params.cutoff_ratio * rl).astype(np.int64),
+                             params.cutoff_lower_bound)
+            kidx = np.flatnonzero(score >= thr)
+            if len(kidx) == 0:
+                continue
+            st_ref, _ = _exact_starts(
+                seqs[kidx], win[kidx], e_ref[kidx], e_read[kidx], score[kidx], params
+            )
+            g_start = wstart[kidx] + st_ref
+            g_stop = wstart[kidx] + e_ref[kidx]
+            seq_s = self.ref.seq_of_pos(g_start)
+            seq_e = self.ref.seq_of_pos(np.maximum(g_stop - 1, g_start))
+            ok = (seq_s == seq_e) & (g_start >= 0)
+            for t in np.flatnonzero(ok):
+                j = kidx[t]
+                singles.append(
+                    (
+                        int(sp.read[m][j]),
+                        end,
+                        int(strands[j]),
+                        int(g_start[t]),
+                        int(g_stop[t]),
+                        int(score[j]),
+                        int(seq_s[t]),
+                    )
+                )
+
+        if not singles:
+            return BatchHits.empty()
+
+        # mate rescue: DP the other end inside the insert window
+        mate_hits, rescued_rows, rescued_sums = self._mate_rescue(
+            singles, allr, all_lens, n
+        )
+
+        # anchor records; rescued anchors get the summed pair score
+        # (normalizeScore applies to both ends, BGS-IO.cpp:1949-1963)
+        arr = np.array([r[:7] for r in singles], dtype=np.int64)
+        a_score = arr[:, 5].astype(np.int32)
+        a_paired = np.zeros(len(arr), dtype=bool)
+        norm = a_score.copy()
+        for row, summed in zip(rescued_rows, rescued_sums):
+            if summed > norm[row]:
+                norm[row] = summed
+            a_paired[row] = True
+        unpaired = BatchHits(
+            read=arr[:, 0].astype(np.int32),
+            end=arr[:, 1].astype(np.int8),
+            seq=arr[:, 6].astype(np.int32),
+            score=norm,
+            raw_score=a_score,
+            start=arr[:, 3],
+            stop=arr[:, 4],
+            strand=arr[:, 2].astype(np.int8),
+            paired=a_paired,
+        )
+        recs.append(unpaired)
+        recs.append(mate_hits)
+        return BatchHits.concat(recs)
+
+    def _mate_rescue(
+        self,
+        anchors: List[Tuple[int, int, int, int, int, int, int]],
+        allr: np.ndarray,
+        all_lens: np.ndarray,
+        n: int,
+    ) -> BatchHits:
+        """DP the mate of each passing single-end hit within the insert
+        window (DV-SemiDP.cpp semantics: anchor one end, scan the other).
+
+        Returns (mate hits, rescued anchor rows, summed scores)."""
+        params = self.params
+        if not anchors:
+            return BatchHits.empty(), [], []
+        arr = np.array([a[:7] for a in anchors], dtype=np.int64)
+        pair, end, strand = arr[:, 0], arr[:, 1], arr[:, 2]
+        g_start, g_stop, a_score = arr[:, 3], arr[:, 4], arr[:, 5]
+
+        mate_idx = (pair + (1 - end) * n).astype(np.int64)
+        ml = all_lens[mate_idx]
+        margin = np.where(ml > 100, 30, 25)
+        # anchor +: mate is - downstream; anchor -: mate is + upstream
+        W = _round_up(int(params.insert_high + ml.max(initial=1) + 62), 128)
+        win_start = np.where(
+            strand == 0, g_start - margin, g_stop - params.insert_high - margin
+        )
+        mate_strand = 1 - strand
+        fwd = allr[mate_idx]
+        seqs = np.where(
+            (mate_strand == 0)[:, None], fwd, _revcomp_rows(fwd, ml)
+        ).astype(np.uint8)
+        win, wstart, wlen = extract_windows(self.ref.codes, win_start, W)
+        score, e_ref, e_read = _batched_dp(seqs, ml.astype(np.int32), win, wlen, params)
+        thr = np.maximum((params.cutoff_ratio * ml).astype(np.int64),
+                         params.cutoff_lower_bound)
+        kidx = np.flatnonzero(score >= thr)
+        if len(kidx) == 0:
+            return BatchHits.empty(), [], []
+        st_ref, _ = _exact_starts(
+            seqs[kidx], win[kidx], e_ref[kidx], e_read[kidx], score[kidx], params
+        )
+        m_start = wstart[kidx] + st_ref
+        m_stop = wstart[kidx] + e_ref[kidx]
+        seq_s = self.ref.seq_of_pos(m_start)
+        seq_e = self.ref.seq_of_pos(np.maximum(m_stop - 1, m_start))
+        ok = (seq_s == seq_e) & (m_start >= 0)
+        t = kidx[np.flatnonzero(ok)]
+        tt = np.flatnonzero(ok)
+
+        anchor_seq = self.ref.seq_of_pos(g_start[t])
+        same = anchor_seq == seq_s[tt]
+        mate_score = score[t]
+        summed = np.where(same, mate_score + a_score[t], mate_score)
+        hits = BatchHits(
+            read=pair[t].astype(np.int32),
+            end=(1 - end[t]).astype(np.int8),
+            seq=seq_s[tt].astype(np.int32),
+            score=summed.astype(np.int32),
+            raw_score=mate_score.astype(np.int32),
+            start=m_start[tt],
+            stop=m_stop[tt],
+            strand=mate_strand[t].astype(np.int8),
+            paired=same,
+        )
+        rescued_rows = [int(r) for r in t[same]]
+        rescued_sums = [int(s) for s in summed[same]]
+        return hits, rescued_rows, rescued_sums

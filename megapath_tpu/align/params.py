@@ -1,0 +1,73 @@
+"""Alignment engine configuration.
+
+Typed equivalents of soap4's ini/CLI parameter soup
+(/root/reference/soap4/IniParam.cpp, soap4-nt2.ini). Defaults follow the
+NT-stage config used by runMegaPath.sh (-u 750 -v 1 -top 95 -F,
+soap4-nt2.ini [MMP]/[DP]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class MmpParams:
+    """[MMP] seeding parameters (soap4-nt2.ini)."""
+
+    sa_size_threshold: int = 30  # mmpSeedSAsizeThreshold
+    seed_min_length: int = 17  # mmpSeedMinLength (NT; 22 for hg)
+    uniq_threshold: int = 6  # mmpUniqThreshold
+    indel_fuzz: int = 5  # mmpIndelFuzz
+    good_seed_len: int = 27  # mmpGoodSeedLen
+    reseed_len: int = 18  # mmpReseedLen (NT; 23 for hg)
+    reseed_rlt_ratio: float = 0.7  # mmpReseedRLTratio
+    reseed_abs_diff: int = 4  # mmpReseedAbsDiff
+    short_seed_ratio: float = 0.5  # mmpShortSeedRatio
+
+
+@dataclass(frozen=True)
+class AlignParams:
+    """Engine-level parameters (soap4 CLI + [DP]/[PairEnd] sections)."""
+
+    # scoring ([DP])
+    match: int = 1
+    mismatch: int = -2
+    gap_open: int = -3
+    gap_extend: int = -1
+    # hit thresholds (definitions.h:166-167 DP2_SCORE_THRESHOLD_*)
+    cutoff_ratio: float = 0.2
+    cutoff_lower_bound: int = 30
+    # insert window (-u/-v flags; runMegaPath.sh uses -u 750)
+    insert_high: int = 750
+    insert_low: int = 1
+    # hit retention (-top N => keep hits >= N% of best)
+    top_percentage: float = 0.95
+    # megapath mode: 1 = -F (report unpaired), 2 = -P (pair required)
+    megapath_mode: int = 1
+    # per-read output caps ([PairEnd] MaxOutputPerPair)
+    max_output_per_pair: int = 200
+    max_hits_per_end: int = 8000  # MaxHitsEachEndForPairing
+    # candidate-compression gap (DP2_DIVIDE_GAP, DV-DPfunctions.cpp:...)
+    divide_gap: int = 5
+    mmp: MmpParams = field(default_factory=MmpParams)
+
+    def margin(self, read_len: int) -> int:
+        """DP window margin (DP2_MARGIN, DV-DPfunctions.cpp:1760)."""
+        return 30 if read_len > 100 else 25
+
+    def dp_threshold(self, read_len: int) -> int:
+        """Per-end keep threshold (DV-DPfunctions.cpp:3439-3440)."""
+        return max(int(self.cutoff_ratio * read_len), self.cutoff_lower_bound)
+
+    def with_(self, **kw) -> "AlignParams":
+        return replace(self, **kw)
+
+
+HUMAN_FILTER = AlignParams(
+    insert_high=750,
+    top_percentage=0.1,  # -top default irrelevant; filter keys off score only
+    mmp=MmpParams(seed_min_length=22, reseed_len=23),
+)
+
+NT_STAGE = AlignParams()

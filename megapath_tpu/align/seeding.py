@@ -1,0 +1,365 @@
+"""MMP (maximal-mappable-prefix) seeding over the FM-index.
+
+Batched re-expression of soap4's per-thread seed walks
+(/root/reference/soap4/DV-DPfunctions.cpp mmp<0> :2226-2267 and mmp<2>
+:2319-2377): a walker consumes the read back-to-front through FM
+backward search, emitting a seed whenever the SA interval would empty,
+with k-mer-LUT jump starts, narrowing-tracked reseed rollback, and
+overlap restarts (i -= min(seed_len, seed_min_length)).
+
+Key structural move: the reference's negative-strand walk (mmp<2>:
+forward over the read, complemented) is EXACTLY the positive-strand
+walk run on the reverse-complemented read. So both strands share one
+state machine: walkers = [reads; revcomp(reads)], and all walkers step
+in lockstep as dense batched rank queries — the TPU-friendly layout
+(SURVEY.md §7 step 4) instead of per-read pointer chasing.
+
+Seed coordinates: a seed at walk emission covers read indices
+[len-i, len-i+seed_len) of the *walker's* sequence; for revcomp
+walkers the decoded text position is already the leftmost coordinate
+of the aligned revcomp read, matching mmpSeeding's
+``SaValue - (read_len - seedlen - off)`` (DV-DPfunctions.cpp:2489).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from megapath_tpu.align.params import MmpParams
+from megapath_tpu.index.fm import FMIndex
+from megapath_tpu.index.pack import COMPLEMENT
+
+
+@dataclass
+class Seeds:
+    """Flat seed table; walker w = read r strand s via w = r + s*n_reads."""
+
+    walker: np.ndarray  # int32 [S]
+    offset: np.ndarray  # int32 [S] seed start within the walker sequence
+    length: np.ndarray  # int32 [S]
+    sa_lo: np.ndarray  # int64 [S] full-row interval start
+    sa_count: np.ndarray  # int32 [S] capped occurrence count
+
+    def __len__(self) -> int:
+        return len(self.walker)
+
+
+def make_walkers(reads: np.ndarray, lens: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """[reads; revcomp(reads)] with per-walker lengths."""
+    n, L = reads.shape
+    rc = np.zeros_like(reads)
+    for i in range(n):  # revcomp within the valid length
+        l = lens[i]
+        rc[i, :l] = COMPLEMENT[reads[i, :l][::-1]]
+    return np.concatenate([reads, rc], axis=0), np.concatenate([lens, lens])
+
+
+def make_walkers_fast(reads: np.ndarray, lens: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized make_walkers (no per-read loop)."""
+    n, L = reads.shape
+    lens = np.asarray(lens, dtype=np.int32)
+    # reverse each row within its valid length: idx j -> len-1-j
+    j = np.arange(L)[None, :]
+    src = lens[:, None] - 1 - j
+    valid = src >= 0
+    src = np.clip(src, 0, L - 1)
+    rc = COMPLEMENT[np.take_along_axis(reads, src, axis=1)]
+    rc = np.where(valid, rc, 0).astype(np.uint8)
+    return np.concatenate([reads, rc], axis=0), np.concatenate([lens, lens])
+
+
+def mmp_seed(
+    walkers: np.ndarray,  # uint8 [W, L]
+    lens: np.ndarray,  # int32 [W]
+    fm: FMIndex,
+    params: MmpParams,
+    max_steps: Optional[int] = None,
+) -> Seeds:
+    """Run the batched MMP state machine; returns all emitted seeds."""
+    Wn, L = walkers.shape
+    lens = np.asarray(lens, dtype=np.int64)
+    k = fm.lut_k
+    use_lut = k and k > 0
+
+    # natural-order k-mer value starting at each index (only j <= len-k valid)
+    if use_lut:
+        km = np.zeros((Wn, L), dtype=np.int64)
+        acc = np.zeros((Wn, L), dtype=np.int64)
+        for j in range(k):
+            shifted = np.zeros((Wn, L), dtype=np.int64)
+            shifted[:, : L - j] = walkers[:, j:]
+            acc = acc * 4 + shifted
+        km = acc  # km[:, j] = value of seq[j:j+k] (A-padded past end)
+
+    n_rows = fm.n + 1
+    i = np.zeros(Wn, dtype=np.int64)  # walk cursor
+    lo = np.zeros(Wn, dtype=np.int64)
+    hi = np.full(Wn, n_rows, dtype=np.int64)
+    seed_len = np.zeros(Wn, dtype=np.int64)
+    last_lo = np.zeros(Wn, dtype=np.int64)
+    last_hi = np.full(Wn, n_rows, dtype=np.int64)
+    last_len = np.zeros(Wn, dtype=np.int64)
+    active = lens >= params.seed_min_length
+
+    out_w: List[np.ndarray] = []
+    out_off: List[np.ndarray] = []
+    out_len: List[np.ndarray] = []
+    out_lo: List[np.ndarray] = []
+    out_cnt: List[np.ndarray] = []
+
+    def emit(idx: np.ndarray, at_end: bool) -> None:
+        """CHECK_AND_ADD_RANGE for walkers idx (interval would empty /
+        walk exhausted). Mutates state in place."""
+        if len(idx) == 0:
+            return
+        sl = seed_len[idx]
+        diff = np.zeros(len(idx), dtype=np.int64)
+        # reseed rollback (DV-DPfunctions.cpp:2202-2206)
+        can = sl >= params.seed_min_length
+        rb = (
+            can
+            & (sl >= params.reseed_len)
+            & ((last_hi[idx] - last_lo[idx]) <= params.sa_size_threshold)
+            & (
+                ((sl - last_len[idx]) <= params.reseed_abs_diff)
+                | (sl * params.reseed_rlt_ratio < last_len[idx])
+            )
+        )
+        diff[rb] = (sl - last_len[idx])[rb]
+        lo[idx[rb]] = last_lo[idx[rb]]
+        hi[idx[rb]] = last_hi[idx[rb]]
+        seed_len[idx[rb]] = last_len[idx[rb]]
+        sl = seed_len[idx]
+
+        keep = sl >= params.seed_min_length
+        kidx = idx[keep]
+        if len(kidx):
+            out_w.append(kidx.astype(np.int32))
+            out_off.append((lens[kidx] - i[kidx]).astype(np.int32))
+            out_len.append(sl[keep].astype(np.int32))
+            out_lo.append(lo[kidx])
+            cnt = np.minimum(hi[kidx] - lo[kidx], params.sa_size_threshold + 1)
+            out_cnt.append(cnt.astype(np.int32))
+
+        if not at_end:
+            # restart with overlap: i -= diff + min(seed_len, minLen),
+            # then the loop's ++i (we fold it into the step logic below)
+            i[idx] -= diff + np.minimum(sl, params.seed_min_length) - 1
+            lo[idx] = 0
+            hi[idx] = n_rows
+            seed_len[idx] = 0
+            last_lo[idx] = 0
+            last_hi[idx] = n_rows
+            last_len[idx] = 0
+
+    limit = max_steps if max_steps is not None else int(3 * L + 64)
+    for _ in range(limit):
+        act = np.flatnonzero(active)
+        if len(act) == 0:
+            break
+
+        fresh = act[seed_len[act] == 0]
+        ext = act[seed_len[act] != 0]
+
+        # ---- fresh walkers: LUT k-jump (or single-char start) --------
+        if len(fresh):
+            rem = lens[fresh] - i[fresh]
+            dead = fresh[rem < params.seed_min_length]
+            active[dead] = False
+            fresh = fresh[rem >= params.seed_min_length]
+        if len(fresh):
+            if use_lut:
+                # k-mer at read index len - i - k (walk covers k chars)
+                j0 = lens[fresh] - i[fresh] - k
+                v = km[fresh, j0]
+                nlo, nhi = fm.lut_interval(v)
+                ok = nlo < nhi
+                okf = fresh[ok]
+                # success: consumed k chars total
+                lo[okf] = nlo[ok]
+                hi[okf] = nhi[ok]
+                seed_len[okf] = k
+                i[okf] += k
+                # failure: empty LUT bucket; seed_len k-1 < minLen is
+                # discarded and the cursor net-advances one char
+                badf = fresh[~ok]
+                i[badf] += 1
+            else:
+                jj = lens[fresh] - 1 - i[fresh]
+                c = walkers[fresh, jj]
+                nlo, nhi = fm.extend_backward(lo[fresh], hi[fresh], c)
+                ok = nlo < nhi
+                okf = fresh[ok]
+                lo[okf] = nlo[ok]
+                hi[okf] = nhi[ok]
+                seed_len[okf] += 1
+                i[okf] += 1
+                i[fresh[~ok]] += 1
+
+        # ---- extending walkers: one backward-search step -------------
+        if len(ext):
+            done = ext[i[ext] >= lens[ext]]
+            emit(done, at_end=True)
+            active[done] = False
+            ext = ext[i[ext] < lens[ext]]
+        if len(ext):
+            jj = lens[ext] - 1 - i[ext]
+            c = walkers[ext, jj]
+            nlo, nhi = fm.extend_backward(lo[ext], hi[ext], c)
+            ok = nlo < nhi
+            oke = ext[ok]
+            # CHECK_AND_SET_LAST: record state before a narrowing step
+            narrow = (nhi[ok] - nlo[ok]) < (hi[oke] - lo[oke])
+            upd = oke[(seed_len[oke] >= params.seed_min_length) & narrow]
+            last_lo[upd] = lo[upd]
+            last_hi[upd] = hi[upd]
+            last_len[upd] = seed_len[upd]
+            lo[oke] = nlo[ok]
+            hi[oke] = nhi[ok]
+            seed_len[oke] += 1
+            i[oke] += 1
+            emit(ext[~ok], at_end=False)
+
+    # walkers that exhausted the loop with a live seed
+    live = np.flatnonzero(active & (seed_len > 0) & (i >= lens))
+    emit(live, at_end=True)
+
+    if out_w:
+        return Seeds(
+            walker=np.concatenate(out_w),
+            offset=np.concatenate(out_off),
+            length=np.concatenate(out_len),
+            sa_lo=np.concatenate(out_lo),
+            sa_count=np.concatenate(out_cnt),
+        )
+    z = np.zeros(0, dtype=np.int32)
+    return Seeds(z, z, z, z.astype(np.int64), z)
+
+
+@dataclass
+class SeedPositions:
+    """Per-(read, strand) clustered candidate start positions."""
+
+    read: np.ndarray  # int32 [C] read index
+    strand: np.ndarray  # int8 [C] 0=+, 1=-
+    pos: np.ndarray  # int64 [C] leftmost text coordinate of the aligned read
+    coverage: np.ndarray  # int32 [C] merged seed coverage (paired_seedLength)
+
+
+def decode_seeds(
+    seeds: Seeds,
+    fm: FMIndex,
+    lens: np.ndarray,  # per-READ lengths [n_reads]
+    n_reads: int,
+    params: MmpParams,
+) -> SeedPositions:
+    """SA intervals -> clustered/filtered candidate positions.
+
+    Mirrors the decode+filter block of mmpSeeding
+    (DV-DPfunctions.cpp:2475-2552): locate up to sa_size_threshold+1
+    hits per seed, long-enough seeds count as unique, cluster positions
+    within indel_fuzz, keep clusters with a unique-enough member or
+    merged coverage >= good_seed_len, then drop clusters shorter than
+    short_seed_ratio * best coverage of the read.
+    """
+    if len(seeds) == 0:
+        z = np.zeros(0)
+        return SeedPositions(
+            z.astype(np.int32), z.astype(np.int8), z.astype(np.int64), z.astype(np.int32)
+        )
+
+    # flatten: one row per decoded SA position
+    cnt = seeds.sa_count.astype(np.int64)
+    tot = int(cnt.sum())
+    seed_idx = np.repeat(np.arange(len(seeds)), cnt)
+    within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    rows = seeds.sa_lo[seed_idx] + within
+    text_pos = fm.locate(rows)
+
+    walker = seeds.walker[seed_idx]
+    read = walker % n_reads
+    strand = (walker >= n_reads).astype(np.int8)
+    offset = seeds.offset[seed_idx].astype(np.int64)
+    length = seeds.length[seed_idx].astype(np.int64)
+    start = text_pos - offset  # leftmost coord of the aligned walker seq
+
+    rlen = np.asarray(lens, dtype=np.int64)[read]
+    unique_enough = (length >= params.good_seed_len) | (length >= rlen // 2)
+    multiplicity = np.where(unique_enough, 1, cnt[seed_idx])
+
+    # sort by (walker, start) to form clusters
+    order = np.lexsort((start, walker))
+    walker_s = walker[order]
+    start_s = start[order]
+    off_s = offset[order]
+    len_s = length[order]
+    mult_s = multiplicity[order]
+
+    out_read: List[int] = []
+    out_strand: List[int] = []
+    out_pos: List[int] = []
+    out_cov: List[int] = []
+
+    n = len(order)
+    b = 0
+    # cluster scan per walker, gap <= indel_fuzz to the FIRST member
+    # (reference compares to sp.pos, the cluster's first offset)
+    per_read_clusters: dict = {}
+    while b < n:
+        w = walker_s[b]
+        e = b + 1
+        first = start_s[b]
+        while e < n and walker_s[e] == w and start_s[e] <= first + params.indel_fuzz:
+            e += 1
+        members = slice(b, e)
+        has_unique = bool(
+            np.any(
+                (mult_s[members] <= params.uniq_threshold)
+                & (len_s[members] >= params.seed_min_length)
+            )
+        )
+        cov = _union_len(off_s[members], off_s[members] + len_s[members])
+        r = int(w % n_reads)
+        if has_unique or cov >= params.good_seed_len:
+            per_read_clusters.setdefault(r, []).append(
+                (int(w >= n_reads), int(first), int(cov))
+            )
+        per_read_clusters.setdefault(r, [])
+        best = per_read_clusters.get(("max", r), 0)
+        per_read_clusters[("max", r)] = max(best, int(cov))
+        b = e
+
+    for r, clusters in per_read_clusters.items():
+        if isinstance(r, tuple):
+            continue
+        best = per_read_clusters.get(("max", r), 0)
+        for s, p, cov in clusters:
+            if cov >= params.short_seed_ratio * best:
+                out_read.append(r)
+                out_strand.append(s)
+                out_pos.append(p)
+                out_cov.append(cov)
+
+    return SeedPositions(
+        read=np.asarray(out_read, dtype=np.int32),
+        strand=np.asarray(out_strand, dtype=np.int8),
+        pos=np.asarray(out_pos, dtype=np.int64),
+        coverage=np.asarray(out_cov, dtype=np.int32),
+    )
+
+
+def _union_len(starts: np.ndarray, ends: np.ndarray) -> int:
+    """Total length of the union of [start, end) intervals."""
+    order = np.argsort(starts, kind="stable")
+    total = 0
+    cur_s, cur_e = 0, 0
+    for s, e in zip(starts[order], ends[order]):
+        if s >= cur_e:
+            total += cur_e - cur_s
+            cur_s = s
+        cur_e = max(cur_e, e)
+    total += cur_e - cur_s
+    return int(total)

@@ -1,0 +1,188 @@
+"""Alignment engine end-to-end tests on a synthetic multi-species genome."""
+
+import numpy as np
+import pytest
+
+from megapath_tpu.align import (
+    AlignEngine,
+    AlignParams,
+    MmpParams,
+    best_per_seq,
+    format_comment,
+)
+from megapath_tpu.index.fm import build_fm_index
+from megapath_tpu.index.pack import COMPLEMENT, PackedReference, pack_fasta
+from megapath_tpu.io.fastq import FastqRecord
+
+
+def _rand(n, rng):
+    return rng.integers(0, 4, size=n).astype(np.uint8)
+
+
+DECODE = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _seq_str(codes):
+    return DECODE[codes].tobytes().decode()
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(99)
+    seqs = {
+        "ecoli_1": _rand(6000, rng),
+        "salm_1": _rand(5000, rng),
+        "virus_1": _rand(3000, rng),
+    }
+    ref = pack_fasta(
+        [FastqRecord(n, _seq_str(c), "", "") for n, c in seqs.items()]
+    )
+    fm = build_fm_index(ref.codes, sa_interval=4, lut_k=6)
+    params = AlignParams(
+        insert_high=500,
+        mmp=MmpParams(seed_min_length=12, reseed_len=13, good_seed_len=18),
+    )
+    return ref, fm, params, seqs
+
+
+def _make_pairs(ref, rng, n, read_len=80, insert=300, seq_pick=None, mutate=0):
+    """Proper +/- pairs: read1 = fwd at p, read2 = revcomp at
+    p+insert-read_len (insert measured start-of-left to end-of-right)."""
+    n_seqs = len(ref.names)
+    reads1 = np.zeros((n, read_len), dtype=np.uint8)
+    reads2 = np.zeros((n, read_len), dtype=np.uint8)
+    truth = []
+    for b in range(n):
+        s = seq_pick(b) if seq_pick else int(rng.integers(0, n_seqs))
+        off0, off1 = int(ref.offsets[s]), int(ref.offsets[s + 1])
+        p = int(rng.integers(off0, off1 - insert))
+        r1 = ref.codes[p : p + read_len].copy()
+        p2 = p + insert - read_len
+        r2seg = ref.codes[p2 : p2 + read_len]
+        r2 = COMPLEMENT[r2seg[::-1]]
+        for _ in range(mutate):
+            q = int(rng.integers(0, read_len))
+            r1[q] = (r1[q] + 1 + rng.integers(0, 3)) % 4
+            q = int(rng.integers(0, read_len))
+            r2[q] = (r2[q] + 1 + rng.integers(0, 3)) % 4
+        reads1[b], reads2[b] = r1, r2
+        truth.append((s, p, p2))
+    lens = np.full(n, read_len, dtype=np.int32)
+    return reads1, lens, reads2, lens.copy(), truth
+
+
+def test_proper_pairs_align(world):
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(5)
+    engine = AlignEngine(ref, fm, params)
+    r1, l1, r2, l2, truth = _make_pairs(ref, rng, 12)
+    hits = engine.align_pairs(r1, l1, r2, l2)
+    table = best_per_seq(hits, 12, params.megapath_mode)
+    for b, (s, p, p2) in enumerate(truth):
+        # both ends hit the right sequence with the paired (summed) score
+        assert table[0][b].get(s) == 160, (b, table[0][b])
+        assert table[1][b].get(s) == 160, (b, table[1][b])
+
+
+def test_pair_positions_and_strands(world):
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(6)
+    engine = AlignEngine(ref, fm, params)
+    r1, l1, r2, l2, truth = _make_pairs(ref, rng, 6)
+    hits = engine.align_pairs(r1, l1, r2, l2)
+    for b, (s, p, p2) in enumerate(truth):
+        m1 = (hits.read == b) & (hits.end == 0) & (hits.score == 160)
+        m2 = (hits.read == b) & (hits.end == 1) & (hits.score == 160)
+        assert m1.any() and m2.any()
+        assert p in hits.start[m1].tolist()
+        assert p2 in hits.start[m2].tolist()
+        assert 0 in hits.strand[m1].tolist()
+        assert 1 in hits.strand[m2].tolist()
+
+
+def test_mutated_pairs_score_drop(world):
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(7)
+    engine = AlignEngine(ref, fm, params)
+    r1, l1, r2, l2, truth = _make_pairs(ref, rng, 8, mutate=2)
+    hits = engine.align_pairs(r1, l1, r2, l2)
+    table = best_per_seq(hits, 8, params.megapath_mode)
+    for b, (s, p, p2) in enumerate(truth):
+        sc = table[0][b].get(s, 0)
+        assert 120 <= sc < 160, (b, sc)
+
+
+def test_unpaired_read_mode1_vs_mode2(world):
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(8)
+    engine = AlignEngine(ref, fm, params)
+    n = 4
+    read_len = 80
+    reads1 = np.zeros((n, read_len), dtype=np.uint8)
+    reads2 = _rand(n * read_len, rng).reshape(n, read_len)  # junk mates
+    truth = []
+    for b in range(n):
+        s = b % 3
+        off0 = int(ref.offsets[s])
+        p = off0 + 100 + b * 37
+        reads1[b] = ref.codes[p : p + read_len]
+        truth.append((s, p))
+    lens = np.full(n, read_len, np.int32)
+    hits = engine.align_pairs(reads1, lens, reads2, lens.copy())
+    t1 = best_per_seq(hits, n, megapath_mode=1)
+    t2 = best_per_seq(hits, n, megapath_mode=2)
+    for b, (s, p) in enumerate(truth):
+        assert t1[0][b].get(s) == 80  # unpaired single-end hit reported
+        assert s not in t2[0][b]  # pair-required mode drops it
+
+
+def test_cross_sequence_pairs_not_summed(world):
+    """read1 on one sequence, read2 on another: ends align but are not
+    properly paired, so scores stay per-end (no sum)."""
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(9)
+    read_len = 80
+    p_a = int(ref.offsets[0]) + 500
+    p_b = int(ref.offsets[1]) + 700
+    r1 = ref.codes[p_a : p_a + read_len][None, :]
+    seg = ref.codes[p_b : p_b + read_len]
+    r2 = COMPLEMENT[seg[::-1]][None, :]
+    lens = np.array([read_len], np.int32)
+    engine = AlignEngine(ref, fm, params)
+    hits = engine.align_pairs(r1, lens, r2, lens.copy())
+    t = best_per_seq(hits, 1, megapath_mode=1)
+    assert t[0][0].get(0) == 80
+    assert t[1][0].get(1) == 80
+
+
+def test_format_comment_top_filter(world):
+    ref, fm, params, _ = world
+    c = format_comment({0: 100, 1: 96, 2: 80}, ref, params)
+    assert c.startswith("SCORE:100;")
+    assert "100," + ref.annotations[0] in c
+    assert "96," + ref.annotations[1] in c  # 96 >= 95
+    assert ref.annotations[2] not in c  # 80 < 95
+
+
+def test_format_comment_prev_merge(world):
+    ref, fm, params, _ = world
+    prev = "SCORE:120;120,OLD_REF_A;100,OLD_REF_B;"
+    c = format_comment({0: 110}, ref, params, prev_comment=prev)
+    # prev best 120 dominates; 110 < 114 filtered; 120 kept, 100 dropped
+    assert c.startswith("SCORE:120;")
+    assert "120,OLD_REF_A" in c
+    assert "100,OLD_REF_B" not in c
+    assert ref.annotations[0] not in c
+
+
+def test_format_comment_ignore():
+    from megapath_tpu.align.params import AlignParams
+
+    ref = PackedReference(
+        codes=np.zeros(0, np.uint8),
+        names=[],
+        annotations=[],
+        offsets=np.array([0]),
+        ambiguous=np.zeros((0, 2), np.int64),
+    )
+    assert format_comment({}, ref, AlignParams(), "IGNORE") == "IGNORE"
