@@ -80,7 +80,7 @@ def format_comment(
         for seq_idx in sorted(seq_scores):
             s = seq_scores[seq_idx]
             if s > 0 and s >= thr:
-                parts.append(f"{s},{ref.annotations[seq_idx]}")
+                parts.append(f"{s},{ref.names[seq_idx]}")
         for seg in prev_hits:
             try:
                 ps = int(seg.split(",", 1)[0])

@@ -159,9 +159,9 @@ def test_format_comment_top_filter(world):
     ref, fm, params, _ = world
     c = format_comment({0: 100, 1: 96, 2: 80}, ref, params)
     assert c.startswith("SCORE:100;")
-    assert "100," + ref.annotations[0] in c
-    assert "96," + ref.annotations[1] in c  # 96 >= 95
-    assert ref.annotations[2] not in c  # 80 < 95
+    assert "100," + ref.names[0] in c
+    assert "96," + ref.names[1] in c  # 96 >= 95
+    assert ref.names[2] not in c  # 80 < 95
 
 
 def test_format_comment_prev_merge(world):
@@ -172,7 +172,7 @@ def test_format_comment_prev_merge(world):
     assert c.startswith("SCORE:120;")
     assert "120,OLD_REF_A" in c
     assert "100,OLD_REF_B" not in c
-    assert ref.annotations[0] not in c
+    assert ref.names[0] not in c
 
 
 def test_format_comment_ignore():
