@@ -1,0 +1,378 @@
+"""bbduk-style read preprocessing: adapter kmask + quality trim + entropy.
+
+Batch-vectorized equivalent of the two BBDuk2 invocations in
+runMegaPath.sh:119 (/root/reference/bbmap/current/jgi/BBDuk2.java):
+
+1. ``kmask=N qtrim=rl trimq=10 minlength=50 ref=adapters.fa hdist=1``:
+   reference k-mers (k=27, both strands, middle base wildcarded,
+   Hamming<=1 neighborhood) mark matching spans which are rewritten to
+   N; then optimal quality trimming (Kadane max-subarray over
+   error-probability deltas, TrimRead.testOptimal); pairs where either
+   end falls under minlength are dropped.
+2. ``entropy=0.75``: sliding 50-wide window of 5-mer counts; window
+   entropy from count-of-counts (BBDuk2.averageEntropy:3161-3248);
+   reads whose average window entropy is below the cutoff are split to
+   the low-complexity output.
+
+All scans are (batch,) numpy vector steps over read positions — the
+same shape the jitted device path uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from megapath_tpu.index.pack import encode_seq
+from megapath_tpu.io.fastq import FastqRecord, read_fastx
+
+NPROB = 0.75  # TrimRead.NPROB
+
+
+def phred_error(q: np.ndarray) -> np.ndarray:
+    return np.power(10.0, -q.astype(np.float64) / 10.0)
+
+
+# ---------------------------------------------------------------------------
+# adapter k-mer table
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class KmerRef:
+    """Sorted canonical k-mer array for adapter/contaminant matching."""
+
+    k: int
+    kmers: np.ndarray  # sorted uint64
+    mask_middle: bool = True
+
+    def middle_mask(self) -> int:
+        # middleMask = ~(3 << (2*(k/2))) (BBDuk2.java:676)
+        return ~(3 << (2 * (self.k // 2))) & ((1 << (2 * self.k)) - 1)
+
+
+def _seq_kmers(codes: np.ndarray, k: int) -> np.ndarray:
+    """All full-length k-mer values of one sequence (big... rolling
+    low-bits-newest encoding, matching BBDuk's (kmer<<2|n)&mask)."""
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    km = np.zeros(n - k + 1, dtype=np.uint64)
+    val = 0
+    mask = (1 << (2 * k)) - 1
+    out = []
+    for i, c in enumerate(codes.tolist()):
+        val = ((val << 2) | int(c)) & mask
+        if i >= k - 1:
+            out.append(val)
+    return np.asarray(out, dtype=np.uint64)
+
+
+def _revcomp_kmer(vals: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement of packed k-mers (2-bit, newest at LSB)."""
+    out = np.zeros_like(vals)
+    v = vals.copy()
+    for _ in range(k):
+        out = (out << np.uint64(2)) | (np.uint64(3) - (v & np.uint64(3)))
+        v >>= np.uint64(2)
+    return out
+
+
+def build_kmer_ref(
+    seqs: Iterable[str], k: int = 27, hdist: int = 1, rcomp: bool = True,
+    mask_middle: bool = True,
+) -> KmerRef:
+    """Build the reference table: both strands, Hamming<=hdist mutants,
+    middle base cleared (BBDuk2 table-load semantics)."""
+    base: List[np.ndarray] = []
+    for s in seqs:
+        codes = encode_seq(s)
+        km = _seq_kmers(codes, k)
+        base.append(km)
+        if rcomp:
+            base.append(_revcomp_kmer(km, k))
+    vals = np.unique(np.concatenate(base)) if base else np.zeros(0, np.uint64)
+
+    if hdist >= 1 and len(vals):
+        muts = [vals]
+        for pos in range(k):
+            for delta in (1, 2, 3):
+                muts.append(vals ^ np.uint64(delta << (2 * pos)))
+        vals = np.unique(np.concatenate(muts))
+
+    if mask_middle and len(vals):
+        mm = np.uint64(~(3 << (2 * (k // 2))) & ((1 << (2 * k)) - 1))
+        vals = np.unique(vals & mm)
+    return KmerRef(k=k, kmers=vals, mask_middle=mask_middle)
+
+
+def load_adapters(path) -> List[str]:
+    return [r.seq for r in read_fastx(path)]
+
+
+# ---------------------------------------------------------------------------
+# batch ops
+# ---------------------------------------------------------------------------
+
+
+def rolling_kmers(
+    codes: np.ndarray, lens: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(B, L) codes -> (B, L) k-mer ending at each position + validity."""
+    B, L = codes.shape
+    km = np.zeros((B, L), dtype=np.uint64)
+    val = np.zeros(B, dtype=np.uint64)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    for i in range(L):
+        val = ((val << np.uint64(2)) | codes[:, i].astype(np.uint64)) & mask
+        km[:, i] = val
+    pos = np.arange(L)[None, :]
+    valid = (pos >= k - 1) & (pos < np.asarray(lens)[:, None])
+    return km, valid
+
+
+def kmask(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    is_n: np.ndarray,
+    ref: KmerRef,
+    trim_pad: int = 0,
+) -> np.ndarray:
+    """Mark spans covered by matching k-mers; returns bool (B, L) mask.
+
+    A hit at k-mer end i masks [i-k+1-trimPad, i+trimPad]
+    (BBDuk2 kmask span semantics).
+    """
+    B, L = codes.shape
+    k = ref.k
+    km, valid = rolling_kmers(codes, lens, k)
+    if ref.mask_middle:
+        km = km & np.uint64(ref.middle_mask())
+    idx = np.searchsorted(ref.kmers, km)
+    idx = np.minimum(idx, max(len(ref.kmers) - 1, 0))
+    hit = valid & (len(ref.kmers) > 0) & (ref.kmers[idx] == km)
+    # k-mers containing an N never match (BBDuk skips kmers with Ns)
+    if is_n.any():
+        ncum = np.cumsum(is_n, axis=1)
+        nprev = np.pad(ncum[:, :-1], ((0, 0), (1, 0)))
+        first = np.maximum(np.arange(L)[None, :] - k + 1, 0)
+        n_in_kmer = ncum - np.take_along_axis(
+            np.pad(ncum, ((0, 0), (1, 0))), first, axis=1
+        )
+        hit &= n_in_kmer == 0
+    # expand hits to spans via difference array
+    span = np.zeros((B, L + 1), dtype=np.int32)
+    bs, ps = np.nonzero(hit)
+    if len(bs):
+        starts = np.maximum(ps - k + 1 - trim_pad, 0)
+        ends = np.minimum(ps + trim_pad, L - 1) + 1
+        np.add.at(span, (bs, starts), 1)
+        np.add.at(span, (bs, ends), -1)
+    return np.cumsum(span[:, :-1], axis=1) > 0
+
+
+def quality_trim(
+    quals: np.ndarray,  # (B, L) phred values
+    is_n: np.ndarray,  # (B, L) bool
+    lens: np.ndarray,
+    trimq: int = 10,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Optimal-mode quality trim (TrimRead.testOptimal:264-315).
+
+    Kadane max-subarray over (avgErrorRate - probError); ties prefer
+    the longer window. Returns (start, stop) kept range per read
+    (stop exclusive); empty reads give start==stop.
+    """
+    B, L = quals.shape
+    avg_err = float(phred_error(np.array(trimq)))
+    nprob = max(min(avg_err * 1.1, 1.0), NPROB)
+    prob = phred_error(quals)
+    prob = np.where(is_n, nprob, prob)
+    delta = (avg_err - prob).astype(np.float32)
+
+    score = np.zeros(B, dtype=np.float32)
+    count = np.zeros(B, dtype=np.int32)
+    max_score = np.zeros(B, dtype=np.float32)
+    max_count = np.full(B, -1, dtype=np.int32)
+    max_loc = np.full(B, -1, dtype=np.int32)
+    lens = np.asarray(lens)
+    for i in range(L):
+        live = i < lens
+        score = np.where(live, score + delta[:, i], score)
+        pos_mask = live & (score > 0)
+        count = np.where(pos_mask, count + 1, np.where(live, 0, count))
+        better = pos_mask & (
+            (score > max_score) | ((score == max_score) & (count > max_count))
+        )
+        max_score = np.where(better, score, max_score)
+        max_count = np.where(better, count, max_count)
+        max_loc = np.where(better, i, max_loc)
+        score = np.where(live & ~pos_mask, 0, score)
+
+    keep = max_score > 0
+    start = np.where(keep, max_loc - max_count + 1, 0)
+    stop = np.where(keep, max_loc + 1, 0)
+    return start.astype(np.int32), stop.astype(np.int32)
+
+
+def average_entropy(
+    codes: np.ndarray,  # (B, L) with N already mapped to A (0)
+    lens: np.ndarray,
+    k: int = 5,
+    window: int = 50,
+) -> np.ndarray:
+    """Per-read average sliding-window entropy (BBDuk2:3161-3248).
+
+    Incremental: maintain per-read 5-mer counts and the running
+    Sigma cc[c]*e[c] via transition deltas. Reads shorter than the
+    window have no measurements and score 0.
+    """
+    B, L = codes.shape
+    lens = np.asarray(lens)
+    kspace = 1 << (2 * k)
+    mask = np.uint32(kspace - 1)
+    # e[c] = (c/window) * ln(c/window)
+    cvals = np.arange(window + 2, dtype=np.float64) / window
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e = cvals * np.log(cvals)
+    e[0] = 0.0
+    mult = -1.0 / np.log(window)
+
+    counts = np.zeros((B, kspace), dtype=np.int16)
+    S = np.zeros(B, dtype=np.float64)  # Sigma cc[c] * e[c]
+    esum = np.zeros(B, dtype=np.float64)
+    nmeas = np.zeros(B, dtype=np.int64)
+    rows = np.arange(B)
+
+    kadd = np.zeros(B, dtype=np.uint32)
+    krem = np.zeros(B, dtype=np.uint32)
+    for i in range(L + window):
+        i2 = i - window
+        if i < L:
+            add_live = i < lens
+            kadd = ((kadd << np.uint32(2)) | codes[:, i].astype(np.uint32)) & mask
+            c_old = counts[rows, kadd]
+            upd = add_live
+            S = np.where(upd, S + e[c_old + 1] - e[c_old], S)
+            counts[rows[upd], kadd[upd]] += 1
+        if i2 >= 0:
+            rem_live = i2 < lens
+            krem = ((krem << np.uint32(2)) | codes[:, i2].astype(np.uint32)) & mask
+            c_old = counts[rows, krem]
+            upd = rem_live
+            S = np.where(upd & (c_old > 0), S + e[np.maximum(c_old - 1, 0)] - e[c_old], S)
+            counts[rows[upd], krem[upd]] -= 1
+        # measurement when i2 >= -1 and i < len
+        meas = (i2 >= -1) & (i < lens)
+        esum = np.where(meas, esum + S * mult, esum)
+        nmeas += meas
+        if i >= L and i2 >= L:
+            break
+    return np.where(nmeas > 0, esum / np.maximum(nmeas, 1), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# the two-stage pipeline entry
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BBDukResult:
+    kept1: List[FastqRecord]
+    kept2: List[FastqRecord]
+    low_complexity: List[FastqRecord]
+    removed_short: int = 0
+
+
+def bbduk_pair(
+    recs1: Sequence[FastqRecord],
+    recs2: Sequence[FastqRecord],
+    adapters: Optional[KmerRef],
+    min_len: int = 50,
+    trimq: int = 10,
+    entropy_cutoff: float = 0.75,
+    max_len: int = 512,
+) -> BBDukResult:
+    """Full preprocessing of a pair batch (both driver BBDuk passes)."""
+    n = len(recs1)
+    L = max_len
+
+    def pack(recs):
+        codes = np.zeros((n, L), dtype=np.uint8)
+        is_n = np.zeros((n, L), dtype=bool)
+        quals = np.zeros((n, L), dtype=np.int16)
+        lens = np.zeros(n, dtype=np.int32)
+        for i, r in enumerate(recs):
+            s = r.seq[:L]
+            codes[i, : len(s)] = encode_seq(s)
+            b = np.frombuffer(s.encode(), dtype=np.uint8)
+            is_n[i, : len(s)] = ~np.isin(b, np.frombuffer(b"ACGTacgt", np.uint8))
+            q = np.frombuffer(r.qual[: len(s)].encode(), dtype=np.uint8).astype(np.int16) - 33
+            quals[i, : len(q)] = q
+            lens[i] = len(s)
+        return codes, is_n, quals, lens
+
+    c1, n1, q1, l1 = pack(recs1)
+    c2, n2, q2, l2 = pack(recs2)
+
+    out1: List[FastqRecord] = []
+    out2: List[FastqRecord] = []
+    lowc: List[FastqRecord] = []
+    removed = 0
+
+    def process(codes, is_n, quals, lens):
+        masked = (
+            kmask(codes, lens, is_n, adapters)
+            if adapters is not None and len(adapters.kmers)
+            else np.zeros_like(is_n)
+        )
+        nn = is_n | masked
+        start, stop = quality_trim(quals, nn, lens, trimq)
+        return masked, start, stop
+
+    m1, s1, e1 = process(c1, n1, q1, l1)
+    m2, s2, e2 = process(c2, n2, q2, l2)
+
+    len1 = e1 - s1
+    len2 = e2 - s2
+    ok = (len1 >= min_len) & (len2 >= min_len)
+
+    # entropy on the trimmed reads (N/masked count as A = 0 already)
+    ent_codes1 = np.zeros_like(c1)
+    ent_codes2 = np.zeros_like(c2)
+    for i in range(n):
+        if ok[i]:
+            ent_codes1[i, : len1[i]] = np.where(
+                (n1 | m1)[i, s1[i] : e1[i]], 0, c1[i, s1[i] : e1[i]]
+            )
+            ent_codes2[i, : len2[i]] = np.where(
+                (n2 | m2)[i, s2[i] : e2[i]], 0, c2[i, s2[i] : e2[i]]
+            )
+    ent1 = average_entropy(ent_codes1, np.where(ok, len1, 0))
+    ent2 = average_entropy(ent_codes2, np.where(ok, len2, 0))
+    low = ok & ((ent1 < entropy_cutoff) | (ent2 < entropy_cutoff))
+
+    for i in range(n):
+        if not ok[i]:
+            removed += 1
+            continue
+        masked_seq1 = _apply_mask(recs1[i].seq, m1[i], s1[i], e1[i])
+        masked_seq2 = _apply_mask(recs2[i].seq, m2[i], s2[i], e2[i])
+        r1 = FastqRecord(recs1[i].name, masked_seq1, recs1[i].qual[s1[i] : e1[i]], recs1[i].comment)
+        r2 = FastqRecord(recs2[i].name, masked_seq2, recs2[i].qual[s2[i] : e2[i]], recs2[i].comment)
+        if low[i]:
+            lowc.extend([r1, r2])
+        else:
+            out1.append(r1)
+            out2.append(r2)
+    return BBDukResult(out1, out2, lowc, removed)
+
+
+def _apply_mask(seq: str, mask_row: np.ndarray, start: int, stop: int) -> str:
+    s = list(seq[start:stop])
+    for j in range(start, stop):
+        if mask_row[j]:
+            s[j - start] = "N"
+    return "".join(s)
