@@ -91,6 +91,16 @@ def _revcomp_rows(reads: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.where(ok, rc, 0).astype(np.uint8)
 
 
+def _bucket(n: int) -> int:
+    """Round batch sizes up to jit-cache-friendly buckets."""
+    if n <= 256:
+        return 256
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
 def _batched_dp(
     reads: np.ndarray,
     read_lens: np.ndarray,
@@ -98,11 +108,30 @@ def _batched_dp(
     win_lens: np.ndarray,
     params: AlignParams,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One device DP call; returns numpy (score, end_ref, end_read)."""
+    """One device DP call; returns numpy (score, end_ref, end_read).
+
+    Batches are zero-padded to power-of-two buckets so XLA compiles a
+    handful of shapes once per process instead of one per batch.
+    """
+    n = reads.shape[0]
+    nb = _bucket(n)
+    if nb != n:
+        reads = np.concatenate(
+            [reads, np.zeros((nb - n, reads.shape[1]), dtype=reads.dtype)]
+        )
+        windows = np.concatenate(
+            [windows, np.zeros((nb - n, windows.shape[1]), dtype=windows.dtype)]
+        )
+        read_lens = np.concatenate([read_lens, np.zeros(nb - n, read_lens.dtype)])
+        win_lens = np.concatenate([win_lens, np.zeros(nb - n, win_lens.dtype)])
     dp = DPParams(params.match, params.mismatch, params.gap_open, params.gap_extend)
     res = sw_align(reads, windows, read_lens.astype(np.int32),
                    win_lens.astype(np.int32), params=dp)
-    return (np.asarray(res.score), np.asarray(res.end_ref), np.asarray(res.end_read))
+    return (
+        np.asarray(res.score)[:n],
+        np.asarray(res.end_ref)[:n],
+        np.asarray(res.end_read)[:n],
+    )
 
 
 def _exact_starts(
