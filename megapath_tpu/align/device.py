@@ -65,6 +65,59 @@ def align_step(
     )
 
 
+class FullAlignOut(NamedTuple):
+    score: jnp.ndarray  # int32 [C]
+    start_ref: jnp.ndarray  # int32 [C] window-relative alignment start
+    end_ref: jnp.ndarray  # int32 [C] window-relative end (exclusive)
+    end_read: jnp.ndarray  # int32 [C]
+    start_read: jnp.ndarray  # int32 [C]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "params"))
+def align_with_starts(
+    ref_codes: jnp.ndarray,  # uint8 [N] device-resident shard text
+    reads: jnp.ndarray,  # uint8 [C, L]
+    read_lens: jnp.ndarray,  # int32 [C]
+    win_starts: jnp.ndarray,  # int32 [C]
+    width: int,
+    params: DPParams = DPParams(),
+) -> FullAlignOut:
+    """Window gather + forward DP + reverse DP, one compiled program.
+
+    The reverse pass aligns the reversed read/window prefixes ending at
+    the forward optimum, whose end cell is the alignment start — no
+    backtrack table needed, and nothing round-trips to the host.
+    """
+    C, L = reads.shape
+    wins = gather_windows(ref_codes, win_starts, width)
+    wlens = jnp.full(C, width, dtype=jnp.int32)
+    fwd = sw_align(reads, wins, read_lens, wlens, params=params)
+
+    # reversed prefixes: read[:end_read][::-1], window[:end_ref][::-1]
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rsrc = fwd.end_read[:, None] - 1 - jj
+    rev_reads = jnp.where(
+        rsrc >= 0,
+        jnp.take_along_axis(reads, jnp.clip(rsrc, 0, L - 1), axis=1),
+        0,
+    ).astype(jnp.uint8)
+    ii = jnp.arange(width, dtype=jnp.int32)[None, :]
+    wsrc = fwd.end_ref[:, None] - 1 - ii
+    rev_wins = jnp.where(
+        wsrc >= 0,
+        jnp.take_along_axis(wins, jnp.clip(wsrc, 0, width - 1), axis=1),
+        OFF_TEXT_CODE,
+    ).astype(jnp.uint8)
+    rev = sw_align(rev_reads, rev_wins, fwd.end_read, fwd.end_ref, params=params)
+    return FullAlignOut(
+        score=fwd.score,
+        start_ref=fwd.end_ref - rev.end_ref,
+        end_ref=fwd.end_ref,
+        end_read=fwd.end_read,
+        start_read=fwd.end_read - rev.end_read,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("width", "params"))
 def pair_align_step(
     ref_codes: jnp.ndarray,

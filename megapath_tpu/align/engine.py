@@ -169,20 +169,123 @@ def _exact_starts(
 
 
 class AlignEngine:
-    """One NT-shard aligner instance."""
+    """One NT-shard aligner instance.
 
-    def __init__(self, ref: PackedReference, fm: FMIndex, params: AlignParams):
+    ``device_seeding=True`` runs the MMP walk + SA locate on device
+    (seeding_jax), falling back to the numpy state machine otherwise.
+    """
+
+    def __init__(
+        self,
+        ref: PackedReference,
+        fm: FMIndex,
+        params: AlignParams,
+        device_seeding: bool = False,
+    ):
         self.ref = ref
         self.fm = fm
         self.params = params
+        self.dfm = None
+        self._ref_dev = None
+        if device_seeding:
+            from megapath_tpu.align.seeding_jax import DeviceFM
+
+            self.dfm = DeviceFM.from_host(fm)
 
     # ------------------------------------------------------------------
     def seed_positions(
         self, reads: np.ndarray, lens: np.ndarray
     ) -> SeedPositions:
         walkers, wlens = make_walkers_fast(reads, lens)
-        seeds = mmp_seed(walkers, wlens, self.fm, self.params.mmp)
-        return decode_seeds(seeds, self.fm, lens, len(reads), self.params.mmp)
+        if self.dfm is not None:
+            seeds = self._device_seeds(walkers, wlens)
+            locate = self._device_locate
+        else:
+            seeds = mmp_seed(walkers, wlens, self.fm, self.params.mmp)
+            locate = None
+        return decode_seeds(
+            seeds, self.fm, lens, len(reads), self.params.mmp, locate_fn=locate
+        )
+
+    def _device_seeds(self, walkers: np.ndarray, wlens: np.ndarray):
+        from megapath_tpu.align.seeding_jax import device_mmp_seed
+        from megapath_tpu.align.seeding import Seeds
+
+        W = walkers.shape[0]
+        Wb = _bucket(W)
+        if Wb != W:
+            walkers = np.concatenate(
+                [walkers, np.zeros((Wb - W, walkers.shape[1]), walkers.dtype)]
+            )
+            wlens = np.concatenate([wlens, np.zeros(Wb - W, wlens.dtype)])
+        out = device_mmp_seed(self.dfm, walkers, wlens, self.params.mmp)
+        n_seeds = np.asarray(out.n_seeds)[:W]
+        off = np.asarray(out.offset)[:W]
+        lng = np.asarray(out.length)[:W]
+        slo = np.asarray(out.sa_lo)[:W]
+        scnt = np.asarray(out.sa_count)[:W]
+        cols = np.arange(off.shape[1])[None, :]
+        mask = cols < n_seeds[:, None]
+        ws, js = np.nonzero(mask)
+        return Seeds(
+            walker=ws.astype(np.int32),
+            offset=off[ws, js],
+            length=lng[ws, js],
+            sa_lo=slo[ws, js].astype(np.int64),
+            sa_count=scnt[ws, js],
+        )
+
+    def _device_align(
+        self,
+        reads: np.ndarray,
+        lens: np.ndarray,
+        win_starts: np.ndarray,
+        width: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Fused gather + forward DP + reverse (start-finding) DP on
+        device; returns numpy (score, start_ref, end_ref)."""
+        from megapath_tpu.align.device import align_with_starts
+        from megapath_tpu.ops.dp import DPParams
+
+        if self._ref_dev is None:
+            import jax.numpy as jnp
+
+            self._ref_dev = jnp.asarray(self.ref.codes)
+        n = reads.shape[0]
+        nb = _bucket(n)
+        if nb != n:
+            reads = np.concatenate(
+                [reads, np.zeros((nb - n, reads.shape[1]), reads.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros(nb - n, lens.dtype)])
+            win_starts = np.concatenate(
+                [win_starts, np.zeros(nb - n, win_starts.dtype)]
+            )
+        p = self.params
+        dp = DPParams(p.match, p.mismatch, p.gap_open, p.gap_extend)
+        out = align_with_starts(
+            self._ref_dev,
+            reads,
+            lens.astype(np.int32),
+            win_starts.astype(np.int32),
+            width,
+            params=dp,
+        )
+        return (
+            np.asarray(out.score)[:n].astype(np.int64),
+            np.asarray(out.start_ref)[:n].astype(np.int64),
+            np.asarray(out.end_ref)[:n].astype(np.int64),
+        )
+
+    def _device_locate(self, rows: np.ndarray) -> np.ndarray:
+        from megapath_tpu.align.seeding_jax import device_locate
+
+        n = len(rows)
+        nb = _bucket(n)
+        if nb != n:
+            rows = np.concatenate([rows, np.ones(nb - n, rows.dtype)])
+        out = device_locate(self.dfm, rows.astype(np.int32), self.dfm.sa_interval)
+        return np.asarray(out)[:n].astype(np.int64)
 
     # ------------------------------------------------------------------
     def align_pairs(
@@ -249,18 +352,14 @@ class AlignEngine:
         left_reads = allr[left_read_idx]
         right_reads = _revcomp_rows(allr[right_read_idx], lR)
 
-        lwin, lstart, lwl = extract_windows(
-            self.ref.codes, cands.left_pos - margin_l, Wwin
-        )
-        rwin, rstart, rwl = extract_windows(
-            self.ref.codes, cands.right_pos - margin_r, Wwin
-        )
-
         reads_b = np.concatenate([left_reads, right_reads])
         lens_b = np.concatenate([lL, lR]).astype(np.int32)
-        wins_b = np.concatenate([lwin, rwin])
-        wlens_b = np.concatenate([lwl, rwl]).astype(np.int32)
-        score, e_ref, e_read = _batched_dp(reads_b, lens_b, wins_b, wlens_b, params)
+        starts_b = np.concatenate(
+            [cands.left_pos - margin_l, cands.right_pos - margin_r]
+        )
+        score, st_ref_all, e_ref_all = self._device_align(
+            reads_b, lens_b, starts_b, Wwin
+        )
 
         s1, s2 = score[:C], score[C:]
         thr_l = np.maximum((params.cutoff_ratio * lL).astype(np.int64),
@@ -273,13 +372,10 @@ class AlignEngine:
             return BatchHits.empty(), np.zeros(0, dtype=np.int64)
 
         both = np.concatenate([kidx, kidx + C])
-        sr, er_, ej_ = score[both], e_ref[both], e_read[both]
-        st_ref, st_read = _exact_starts(
-            reads_b[both], wins_b[both], er_, ej_, sr, params
-        )
-        win_start = np.concatenate([lstart[kidx], rstart[kidx]])
-        g_start = win_start + st_ref
-        g_stop = win_start + er_
+        sr = score[both]
+        win_start = starts_b[both]
+        g_start = win_start + st_ref_all[both]
+        g_stop = win_start + e_ref_all[both]
 
         K = len(kidx)
         seq_s = self.ref.seq_of_pos(g_start)
@@ -354,17 +450,16 @@ class AlignEngine:
             seqs = np.where(
                 (strands == 0)[:, None], fwd, _revcomp_rows(fwd, rl)
             ).astype(np.uint8)
-            win, wstart, wlen = extract_windows(self.ref.codes, pos - margin, Wwin)
-            score, e_ref, e_read = _batched_dp(seqs, rl.astype(np.int32), win, wlen, params)
+            wstart = pos - margin
+            score, st_ref, e_ref = self._device_align(
+                seqs, rl.astype(np.int32), wstart, Wwin
+            )
             thr = np.maximum((params.cutoff_ratio * rl).astype(np.int64),
                              params.cutoff_lower_bound)
             kidx = np.flatnonzero(score >= thr)
             if len(kidx) == 0:
                 continue
-            st_ref, _ = _exact_starts(
-                seqs[kidx], win[kidx], e_ref[kidx], e_read[kidx], score[kidx], params
-            )
-            g_start = wstart[kidx] + st_ref
+            g_start = wstart[kidx] + st_ref[kidx]
             g_stop = wstart[kidx] + e_ref[kidx]
             seq_s = self.ref.seq_of_pos(g_start)
             seq_e = self.ref.seq_of_pos(np.maximum(g_stop - 1, g_start))
@@ -447,18 +542,16 @@ class AlignEngine:
         seqs = np.where(
             (mate_strand == 0)[:, None], fwd, _revcomp_rows(fwd, ml)
         ).astype(np.uint8)
-        win, wstart, wlen = extract_windows(self.ref.codes, win_start, W)
-        score, e_ref, e_read = _batched_dp(seqs, ml.astype(np.int32), win, wlen, params)
+        score, st_ref, e_ref = self._device_align(
+            seqs, ml.astype(np.int32), win_start, W
+        )
         thr = np.maximum((params.cutoff_ratio * ml).astype(np.int64),
                          params.cutoff_lower_bound)
         kidx = np.flatnonzero(score >= thr)
         if len(kidx) == 0:
             return BatchHits.empty(), [], []
-        st_ref, _ = _exact_starts(
-            seqs[kidx], win[kidx], e_ref[kidx], e_read[kidx], score[kidx], params
-        )
-        m_start = wstart[kidx] + st_ref
-        m_stop = wstart[kidx] + e_ref[kidx]
+        m_start = win_start[kidx] + st_ref[kidx]
+        m_stop = win_start[kidx] + e_ref[kidx]
         seq_s = self.ref.seq_of_pos(m_start)
         seq_e = self.ref.seq_of_pos(np.maximum(m_stop - 1, m_start))
         ok = (seq_s == seq_e) & (m_start >= 0)

@@ -255,6 +255,7 @@ def decode_seeds(
     lens: np.ndarray,  # per-READ lengths [n_reads]
     n_reads: int,
     params: MmpParams,
+    locate_fn=None,
 ) -> SeedPositions:
     """SA intervals -> clustered/filtered candidate positions.
 
@@ -277,7 +278,7 @@ def decode_seeds(
     seed_idx = np.repeat(np.arange(len(seeds)), cnt)
     within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
     rows = seeds.sa_lo[seed_idx] + within
-    text_pos = fm.locate(rows)
+    text_pos = locate_fn(rows) if locate_fn is not None else fm.locate(rows)
 
     walker = seeds.walker[seed_idx]
     read = walker % n_reads

@@ -1,0 +1,378 @@
+"""Device-resident MMP seeding: the FM backward-search state machine
+as one compiled XLA while_loop.
+
+Port of megapath_tpu.align.seeding.mmp_seed to jnp: all walkers step in
+lockstep; each iteration issues two batched rank queries (occ
+checkpoint gather + in-register popcount over the 2-bit BWT block) or
+a k-mer LUT gather, applies the narrowing-tracked reseed/rollback
+rules, and scatters emitted seeds into fixed per-walker slots. The
+whole walk compiles to a single program, so the sequential structure
+costs no launch overhead — the reference needs a pthread pool for this
+(DV-DPfunctions.cpp:2443-2467); here it is one device call.
+
+Device arrays are int32/uint32: shards must be < 2^31 chars (the
+3.9 Gbp reference shard cap needs the uint32 paths; int32 keeps this
+port at <= 2 Gbp per device shard, split finer by shard.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megapath_tpu.align.params import MmpParams
+from megapath_tpu.index.fm import FMIndex, OCC_BLOCK, WORD_CHARS
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceFM:
+    """FM-index arrays on device (int32 coordinate space).
+
+    Registered as a pytree with the scalar metadata (n, primary,
+    lut_k, sa_interval) as static aux data so jit treats them as
+    compile-time constants.
+    """
+
+    def __init__(self, n, primary, bwt_words, occ, counts, lut_lo, lut_hi,
+                 lut_k, mark_bits, sa_sampled, sa_interval):
+        self.n = n
+        self.primary = primary
+        self.bwt_words = bwt_words  # uint32 [n_words]
+        self.occ = occ  # uint32 [n_blocks+1, 4]
+        self.counts = counts  # int32 [5]
+        self.lut_lo = lut_lo  # int32 [4^k] (or [1] when lut_k == 0)
+        self.lut_hi = lut_hi
+        self.lut_k = lut_k
+        self.mark_bits = mark_bits  # int32 [n+2] prefix rank of marks
+        self.sa_sampled = sa_sampled  # int32 [n_marked]
+        self.sa_interval = sa_interval
+
+    @property
+    def words2d(self):
+        """(n_blocks, words_per_block) view for row gathers."""
+        wpb = OCC_BLOCK // WORD_CHARS
+        return self.bwt_words.reshape(-1, wpb)
+
+    def tree_flatten(self):
+        leaves = (self.bwt_words, self.occ, self.counts, self.lut_lo,
+                  self.lut_hi, self.mark_bits, self.sa_sampled)
+        aux = (self.n, self.primary, self.lut_k, self.sa_interval)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        n, primary, lut_k, sa_interval = aux
+        bwt_words, occ, counts, lut_lo, lut_hi, mark_bits, sa_sampled = leaves
+        return cls(n, primary, bwt_words, occ, counts, lut_lo, lut_hi,
+                   lut_k, mark_bits, sa_sampled, sa_interval)
+
+    @classmethod
+    def from_host(cls, fm: FMIndex) -> "DeviceFM":
+        assert fm.n < 2**31, "device seeding path requires shard < 2^31"
+        lut_k = fm.lut_k
+        return cls(
+            n=int(fm.n),
+            primary=int(fm.primary),
+            bwt_words=jnp.asarray(fm.bwt_words),
+            occ=jnp.asarray(fm.occ.astype(np.uint32)),
+            counts=jnp.asarray(fm.counts.astype(np.int32)),
+            lut_lo=jnp.asarray(
+                fm.lut_lo.astype(np.int32) if lut_k else np.zeros(1, np.int32)
+            ),
+            lut_hi=jnp.asarray(
+                fm.lut_hi.astype(np.int32) if lut_k else np.zeros(1, np.int32)
+            ),
+            lut_k=int(lut_k),
+            mark_bits=jnp.asarray(fm.mark_rank.astype(np.int32)),
+            sa_sampled=jnp.asarray(fm.sa_sampled.astype(np.int32)),
+            sa_interval=int(fm.sa_interval),
+        )
+
+
+def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """#occurrences of c in bwt[0:idx); idx int32 [B].
+
+    Single-axis row gathers only (take along the block axis): TPU
+    lowers multi-index fancy gathers to scalar loops, so the words are
+    fetched as whole (wpb,)-rows and the flat occ table is indexed with
+    one computed offset per query.
+    """
+    n_blocks = dfm.occ.shape[0] - 1
+    block = idx // OCC_BLOCK
+    occ_flat = dfm.occ.reshape(-1)
+    base = jnp.take(occ_flat, block * 4 + c).astype(jnp.int32)
+    rel = idx - block * OCC_BLOCK
+    w = jnp.take(
+        dfm.words2d, jnp.minimum(block, n_blocks - 1), axis=0
+    )  # (B, wpb) uint32
+    shifts = (2 * jnp.arange(WORD_CHARS, dtype=jnp.uint32))[None, None, :]
+    chars = ((w[:, :, None] >> shifts) & jnp.uint32(3)).astype(jnp.int32)
+    chars = chars.reshape(idx.shape[0], OCC_BLOCK)
+    pos = jnp.arange(OCC_BLOCK, dtype=jnp.int32)[None, :]
+    inblk = ((chars == c[:, None]) & (pos < rel[:, None])).sum(axis=1)
+    return base + inblk.astype(jnp.int32)
+
+
+def _occ_full(dfm: DeviceFM, row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    adj = row - (row > dfm.primary).astype(jnp.int32)
+    return _occ_arr(dfm, adj, c)
+
+
+def extend_backward(
+    dfm: DeviceFM, lo: jnp.ndarray, hi: jnp.ndarray, c: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    C = dfm.counts[c]
+    return C + _occ_full(dfm, lo, c), C + _occ_full(dfm, hi, c)
+
+
+class DeviceSeeds(NamedTuple):
+    offset: jnp.ndarray  # int32 [W, S]
+    length: jnp.ndarray  # int32 [W, S]
+    sa_lo: jnp.ndarray  # int32 [W, S]
+    sa_count: jnp.ndarray  # int32 [W, S]
+    n_seeds: jnp.ndarray  # int32 [W]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "max_seeds", "max_steps")
+)
+def device_mmp_seed(
+    dfm: DeviceFM,
+    walkers: jnp.ndarray,  # uint8 [W, L]
+    lens: jnp.ndarray,  # int32 [W]
+    params: MmpParams,
+    max_seeds: int = 16,
+    max_steps: int | None = None,
+) -> DeviceSeeds:
+    Wn, L = walkers.shape
+    k = dfm.lut_k
+    n_rows = dfm.n + 1
+    lens = lens.astype(jnp.int32)
+    walkers_i = walkers.astype(jnp.int32)
+
+    # natural-order k-mer values per start index (A-padded past end)
+    if k:
+        acc = jnp.zeros((Wn, L), dtype=jnp.int32)
+        for j in range(k):
+            shifted = jnp.pad(walkers_i[:, j:], ((0, 0), (0, j)))
+            acc = acc * 4 + shifted
+        km = acc
+    else:
+        km = jnp.zeros((Wn, L), dtype=jnp.int32)
+
+    rows = jnp.arange(Wn, dtype=jnp.int32)
+
+    class S(NamedTuple):
+        i: jnp.ndarray
+        lo: jnp.ndarray
+        hi: jnp.ndarray
+        seed_len: jnp.ndarray
+        last_lo: jnp.ndarray
+        last_hi: jnp.ndarray
+        last_len: jnp.ndarray
+        active: jnp.ndarray
+        out_off: jnp.ndarray
+        out_len: jnp.ndarray
+        out_lo: jnp.ndarray
+        out_cnt: jnp.ndarray
+        n_seeds: jnp.ndarray
+        step: jnp.ndarray
+
+    init = S(
+        i=jnp.zeros(Wn, jnp.int32),
+        lo=jnp.zeros(Wn, jnp.int32),
+        hi=jnp.full(Wn, n_rows, jnp.int32),
+        seed_len=jnp.zeros(Wn, jnp.int32),
+        last_lo=jnp.zeros(Wn, jnp.int32),
+        last_hi=jnp.full(Wn, n_rows, jnp.int32),
+        last_len=jnp.zeros(Wn, jnp.int32),
+        active=lens >= params.seed_min_length,
+        out_off=jnp.zeros((Wn, max_seeds), jnp.int32),
+        out_len=jnp.zeros((Wn, max_seeds), jnp.int32),
+        out_lo=jnp.zeros((Wn, max_seeds), jnp.int32),
+        out_cnt=jnp.zeros((Wn, max_seeds), jnp.int32),
+        n_seeds=jnp.zeros(Wn, jnp.int32),
+        step=jnp.int32(0),
+    )
+    limit = max_steps if max_steps is not None else int(3 * L + 64)
+
+    min_len = jnp.int32(params.seed_min_length)
+
+    def emit(s: S, idx_mask, at_end) -> S:
+        """CHECK_AND_ADD_RANGE for masked walkers."""
+        sl = s.seed_len
+        can = sl >= min_len
+        rb = (
+            idx_mask
+            & can
+            & (sl >= params.reseed_len)
+            & ((s.last_hi - s.last_lo) <= params.sa_size_threshold)
+            & (
+                ((sl - s.last_len) <= params.reseed_abs_diff)
+                | (sl.astype(jnp.float32) * params.reseed_rlt_ratio
+                   < s.last_len.astype(jnp.float32))
+            )
+        )
+        diff = jnp.where(rb, sl - s.last_len, 0)
+        lo = jnp.where(rb, s.last_lo, s.lo)
+        hi = jnp.where(rb, s.last_hi, s.hi)
+        sl = jnp.where(rb, s.last_len, sl)
+
+        keep = idx_mask & (sl >= min_len)
+        slot = jnp.minimum(s.n_seeds, max_seeds - 1)
+        off_val = lens - s.i
+        cnt_val = jnp.minimum(hi - lo, params.sa_size_threshold + 1)
+        room = keep & (s.n_seeds < max_seeds)
+
+        def scat(buf, val):
+            cur = buf[rows, slot]
+            return buf.at[rows, slot].set(jnp.where(room, val, cur))
+
+        out_off = scat(s.out_off, off_val)
+        out_len = scat(s.out_len, sl)
+        out_lo = scat(s.out_lo, lo)
+        out_cnt = scat(s.out_cnt, cnt_val)
+        n_seeds = s.n_seeds + room.astype(jnp.int32)
+
+        if at_end:
+            i = s.i
+        else:
+            i = jnp.where(
+                idx_mask, s.i - (diff + jnp.minimum(sl, min_len) - 1), s.i
+            )
+        reset = idx_mask & jnp.bool_(not at_end)
+        return s._replace(
+            i=i,
+            lo=jnp.where(reset, 0, s.lo),
+            hi=jnp.where(reset, n_rows, s.hi),
+            seed_len=jnp.where(reset, 0, sl if at_end else jnp.where(idx_mask, 0, s.seed_len)),
+            last_lo=jnp.where(reset, 0, s.last_lo),
+            last_hi=jnp.where(reset, n_rows, s.last_hi),
+            last_len=jnp.where(reset, 0, s.last_len),
+            out_off=out_off,
+            out_len=out_len,
+            out_lo=out_lo,
+            out_cnt=out_cnt,
+            n_seeds=n_seeds,
+        )
+
+    def body(s: S) -> S:
+        fresh = s.active & (s.seed_len == 0)
+        ext = s.active & (s.seed_len != 0)
+
+        # fresh: remaining-length check
+        rem = lens - s.i
+        die = fresh & (rem < min_len)
+        fresh = fresh & ~die
+        active = s.active & ~die
+
+        # ext walkers whose cursor ran off the end: final emit
+        done = ext & (s.i >= lens)
+        s2 = emit(s._replace(active=active), done, at_end=True)
+        active = active & ~done
+        ext = ext & ~done
+
+        # character / LUT step (compute for every walker; mask later)
+        if k:
+            j0 = jnp.clip(lens - s2.i - k, 0, L - 1)
+            v = km[rows, j0]
+            lut_lo = dfm.lut_lo[v]
+            lut_hi = dfm.lut_hi[v]
+        jj = jnp.clip(lens - 1 - s2.i, 0, L - 1)
+        c = walkers_i[rows, jj]
+        b_lo, b_hi = extend_backward(
+            dfm, s2.lo, s2.hi, jnp.where(ext, c, 0)
+        )
+
+        if k:
+            nlo = jnp.where(fresh, lut_lo, b_lo)
+            nhi = jnp.where(fresh, lut_hi, b_hi)
+        else:
+            # LUT-free: fresh walkers extend from the full interval
+            f_lo, f_hi = extend_backward(
+                dfm,
+                jnp.zeros_like(s2.lo),
+                jnp.full_like(s2.hi, n_rows),
+                jnp.where(fresh, c, 0),
+            )
+            nlo = jnp.where(fresh, f_lo, b_lo)
+            nhi = jnp.where(fresh, f_hi, b_hi)
+
+        ok = nlo < nhi
+        # fresh success: jump k (or 1) chars
+        if k:
+            adv = jnp.where(fresh, k, 1).astype(jnp.int32)
+            new_len = jnp.where(fresh, k, s2.seed_len + 1).astype(jnp.int32)
+        else:
+            adv = jnp.ones(Wn, jnp.int32)
+            new_len = jnp.where(fresh, 1, s2.seed_len + 1).astype(jnp.int32)
+
+        stepping = (fresh | ext) & ok
+        # CHECK_AND_SET_LAST (ext only; fresh has seed_len < min)
+        narrow = (nhi - nlo) < (s2.hi - s2.lo)
+        upd = ext & ok & (s2.seed_len >= min_len) & narrow
+        s3 = s2._replace(
+            last_lo=jnp.where(upd, s2.lo, s2.last_lo),
+            last_hi=jnp.where(upd, s2.hi, s2.last_hi),
+            last_len=jnp.where(upd, s2.seed_len, s2.last_len),
+            lo=jnp.where(stepping, nlo, s2.lo),
+            hi=jnp.where(stepping, nhi, s2.hi),
+            seed_len=jnp.where(stepping, new_len, s2.seed_len),
+            i=jnp.where(stepping, s2.i + adv, s2.i),
+            active=active,
+        )
+        # fresh failure (empty LUT bucket / first char dead): net +1
+        fresh_fail = fresh & ~ok
+        s3 = s3._replace(i=jnp.where(fresh_fail, s3.i + 1, s3.i))
+        # ext failure: emit + reset (+1 net advance folded in emit)
+        s4 = emit(s3, ext & ~ok, at_end=False)
+        return s4._replace(step=s.step + 1)
+
+    def cond(s: S) -> jnp.ndarray:
+        return jnp.any(s.active) & (s.step < limit)
+
+    final = jax.lax.while_loop(cond, body, init)
+    # walkers that ran out of the loop with a live seed
+    live = final.active & (final.seed_len > 0) & (final.i >= lens)
+    final = emit(final, live, at_end=True)
+    return DeviceSeeds(
+        offset=final.out_off,
+        length=final.out_len,
+        sa_lo=final.out_lo,
+        sa_count=final.out_cnt,
+        n_seeds=final.n_seeds,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sa_interval",))
+def device_locate(dfm: DeviceFM, rowsv: jnp.ndarray, sa_interval: int) -> jnp.ndarray:
+    """Batched LF-walk locate of full rows (int32)."""
+    rowsv = rowsv.astype(jnp.int32)
+
+    def is_marked(r):
+        return (dfm.mark_bits[r + 1] - dfm.mark_bits[r]) > 0
+
+    def bwt_char(r):
+        adj = r - (r > dfm.primary).astype(jnp.int32)
+        w = dfm.bwt_words[adj // WORD_CHARS]
+        return ((w >> (2 * (adj % WORD_CHARS)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
+
+    def lf(r):
+        c = bwt_char(jnp.where(r == dfm.primary, 0, r))
+        out = dfm.counts[c] + _occ_full(dfm, r, c)
+        return jnp.where(r == dfm.primary, 0, out)
+
+    pos = jnp.full(rowsv.shape, -1, jnp.int32)
+    cur = rowsv
+    steps = jnp.zeros(rowsv.shape, jnp.int32)
+    for _ in range(sa_interval + 1):
+        hit = (pos < 0) & is_marked(cur)
+        pos = jnp.where(hit, dfm.sa_sampled[dfm.mark_bits[cur]] + steps, pos)
+        todo = pos < 0
+        cur = jnp.where(todo, lf(cur), cur)
+        steps = steps + todo.astype(jnp.int32)
+    return pos

@@ -1,0 +1,108 @@
+"""Device MMP seeder must reproduce the numpy seeder exactly."""
+
+import numpy as np
+import pytest
+
+from megapath_tpu.align.params import MmpParams
+from megapath_tpu.align.seeding import make_walkers_fast, mmp_seed
+from megapath_tpu.align.seeding_jax import (
+    DeviceFM,
+    device_locate,
+    device_mmp_seed,
+)
+from megapath_tpu.index.fm import build_fm_index
+
+PARAMS = MmpParams(seed_min_length=12, reseed_len=13, good_seed_len=18)
+
+
+def _rand(n, seed):
+    return np.random.default_rng(seed).integers(0, 4, size=n).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def world():
+    codes = _rand(20000, 3)
+    fm = build_fm_index(codes, sa_interval=4, lut_k=6)
+    return codes, fm, DeviceFM.from_host(fm)
+
+
+def _host_seed_table(walkers, wlens, fm, params):
+    seeds = mmp_seed(walkers, wlens, fm, params)
+    table = {}
+    for i in range(len(seeds.walker)):
+        table.setdefault(int(seeds.walker[i]), []).append(
+            (
+                int(seeds.offset[i]),
+                int(seeds.length[i]),
+                int(seeds.sa_lo[i]),
+                int(seeds.sa_count[i]),
+            )
+        )
+    return table
+
+
+@pytest.mark.parametrize("lut", [6, 0])
+def test_device_matches_host(world, lut):
+    codes, fm, _ = world
+    if lut != fm.lut_k:
+        fm = build_fm_index(codes, sa_interval=4, lut_k=lut)
+    dfm = DeviceFM.from_host(fm)
+    rng = np.random.default_rng(5)
+    n, L = 32, 90
+    reads = np.zeros((n, L), dtype=np.uint8)
+    for b in range(n):
+        p = int(rng.integers(0, len(codes) - L))
+        r = codes[p : p + L].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            q = int(rng.integers(0, L))
+            r[q] = (r[q] + 1 + rng.integers(0, 3)) % 4
+        reads[b] = r
+    lens = np.full(n, L, np.int32)
+    walkers, wlens = make_walkers_fast(reads, lens)
+    want = _host_seed_table(walkers, wlens, fm, PARAMS)
+
+    out = device_mmp_seed(dfm, walkers, wlens, PARAMS)
+    n_seeds = np.asarray(out.n_seeds)
+    off = np.asarray(out.offset)
+    lng = np.asarray(out.length)
+    slo = np.asarray(out.sa_lo)
+    scnt = np.asarray(out.sa_count)
+    for w in range(2 * n):
+        got = [
+            (int(off[w, j]), int(lng[w, j]), int(slo[w, j]), int(scnt[w, j]))
+            for j in range(int(n_seeds[w]))
+        ]
+        assert got == want.get(w, []), f"walker {w}"
+
+
+def test_device_locate_matches_host(world):
+    codes, fm, dfm = world
+    rows = np.arange(1, fm.n + 1, 37, dtype=np.int32)
+    want = fm.locate(rows)
+    got = np.asarray(device_locate(dfm, rows, fm.sa_interval))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_variable_lengths(world):
+    codes, fm, dfm = world
+    rng = np.random.default_rng(9)
+    n, L = 16, 100
+    reads = np.zeros((n, L), dtype=np.uint8)
+    lens = np.zeros(n, np.int32)
+    for b in range(n):
+        ln = int(rng.integers(10, L + 1))
+        p = int(rng.integers(0, len(codes) - ln))
+        reads[b, :ln] = codes[p : p + ln]
+        lens[b] = ln
+    walkers, wlens = make_walkers_fast(reads, lens)
+    want = _host_seed_table(walkers, wlens, fm, PARAMS)
+    out = device_mmp_seed(dfm, walkers, wlens, PARAMS)
+    n_seeds = np.asarray(out.n_seeds)
+    off = np.asarray(out.offset)
+    lng = np.asarray(out.length)
+    for w in range(2 * n):
+        got = [
+            (int(off[w, j]), int(lng[w, j]))
+            for j in range(int(n_seeds[w]))
+        ]
+        assert got == [(a, b) for a, b, _, _ in want.get(w, [])], f"walker {w}"
