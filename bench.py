@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""megapath-tpu benchmark: reads/s/chip aligning vs an NT-style shard.
+
+Prints ONE JSON line:
+  {"metric": "align_reads_per_sec_per_chip", "value": N,
+   "unit": "reads/s", "vs_baseline": ratio}
+
+Workload (deterministic, cached in ./bench_cache): 8 Mbp reference in
+one shard, 20000 read pairs (100 bp, insert 350, ~1 mutation/read),
+full engine path: device MMP seeding -> decode/cluster -> insert-window
+pairing -> fused window-gather + forward/reverse DP on device ->
+thresholds + hit merge. The baseline denominator is the reference
+soap4 measured on this machine (bench_baseline.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+CACHE = os.path.join(HERE, "bench_cache")
+
+GENOME_SEQS = 4
+GENOME_LEN = 2_000_000
+N_PAIRS = 20_000
+READ_LEN = 100
+INSERT = 350
+SEED = 11
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def build_workload():
+    from megapath_tpu.index.fm import FMIndex, build_fm_index
+    from megapath_tpu.index.pack import COMPLEMENT, PackedReference, pack_fasta
+    from megapath_tpu.io.fastq import FastqRecord
+
+    os.makedirs(CACHE, exist_ok=True)
+    ref_p = os.path.join(CACHE, "ref.npz")
+    fm_p = os.path.join(CACHE, "fm.npz")
+    reads_p = os.path.join(CACHE, "reads.npz")
+
+    if all(os.path.exists(p) for p in (ref_p, fm_p, reads_p)):
+        log("loading cached workload")
+        ref = PackedReference.load(ref_p)
+        fm = FMIndex.load(fm_p)
+        z = np.load(reads_p)
+        return ref, fm, z["reads1"], z["lens1"], z["reads2"], z["lens2"]
+
+    log("building workload (one-time)")
+    rng = np.random.default_rng(SEED)
+    decode = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = {
+        f"seq{i}": rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+        for i in range(GENOME_SEQS)
+    }
+    recs = [
+        FastqRecord(k, decode[v].tobytes().decode(), "", "") for k, v in seqs.items()
+    ]
+    ref = pack_fasta(recs)
+    t = time.time()
+    fm = build_fm_index(ref.codes, sa_interval=8, lut_k=8)
+    log(f"index built in {time.time()-t:.1f}s")
+    ref.save(ref_p)
+    fm.save(fm_p)
+
+    keys = list(seqs)
+    reads1 = np.zeros((N_PAIRS, READ_LEN), dtype=np.uint8)
+    reads2 = np.zeros((N_PAIRS, READ_LEN), dtype=np.uint8)
+    for i in range(N_PAIRS):
+        c = seqs[keys[i % GENOME_SEQS]]
+        p = int(rng.integers(0, len(c) - INSERT))
+        r1 = c[p : p + READ_LEN].copy()
+        seg = c[p + INSERT - READ_LEN : p + INSERT]
+        r2 = np.array([3, 2, 1, 0], np.uint8)[seg[::-1]].copy()
+        for arr in (r1, r2):
+            for _ in range(int(rng.poisson(1.0))):
+                q = int(rng.integers(0, READ_LEN))
+                arr[q] = (arr[q] + 1 + rng.integers(0, 3)) % 4
+        reads1[i], reads2[i] = r1, r2
+    lens = np.full(N_PAIRS, READ_LEN, dtype=np.int32)
+    np.savez_compressed(
+        reads_p, reads1=reads1, lens1=lens, reads2=reads2, lens2=lens
+    )
+    return ref, fm, reads1, lens, reads2, lens.copy()
+
+
+def main() -> None:
+    from megapath_tpu.align import AlignEngine, AlignParams
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    ref, fm, reads1, lens1, reads2, lens2 = build_workload()
+
+    engine = AlignEngine(ref, fm, AlignParams(), device_seeding=True)
+
+    log("warmup (compiles + tunnel init)")
+    t = time.time()
+    engine.align_pairs(reads1, lens1, reads2, lens2)
+    log(f"warmup {time.time()-t:.1f}s")
+
+    times = []
+    for i in range(3):
+        t = time.time()
+        hits = engine.align_pairs(reads1, lens1, reads2, lens2)
+        dt = time.time() - t
+        times.append(dt)
+        log(f"pass {i}: {dt:.2f}s ({2*N_PAIRS/dt:.0f} reads/s), hits={len(hits.read)}")
+    best = min(times)
+    reads_per_sec = 2 * N_PAIRS / best
+
+    vs = 0.0
+    bl_path = os.path.join(HERE, "bench_baseline.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            bl = json.load(f)
+        denom = bl.get("soap4_reads_per_sec_alignment_only", 0)
+        if denom:
+            vs = reads_per_sec / denom
+
+    print(
+        json.dumps(
+            {
+                "metric": "align_reads_per_sec_per_chip",
+                "value": round(reads_per_sec, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,30 +85,46 @@ def pair_candidates(
         lread, lpos = lread[lorder], lpos[lorder]
         rread, rpos = rread[rorder], rpos[rorder]
 
-        for r in np.unique(lread):
-            li = np.searchsorted(lread, r), np.searchsorted(lread, r, "right")
-            ri = np.searchsorted(rread, r), np.searchsorted(rread, r, "right")
-            if ri[0] == ri[1]:
-                continue
-            lp = _compress(lpos[li[0] : li[1]], params.divide_gap)
-            rp = rpos[ri[0] : ri[1]]
-            rl = int(rlen[r])
-            margin = params.margin(rl)
-            length_low = max(0, params.insert_low - rl - margin)
-            length_high = params.insert_high - rl + margin
-            s = np.searchsorted(rp, lp + length_low, "left")
-            e = np.searchsorted(rp, lp + length_high, "right")
-            counts = e - s
-            tot = int(counts.sum())
-            if tot == 0:
-                continue
-            lidx = np.repeat(np.arange(len(lp)), counts)
-            within = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
-            ridx = s[lidx] + within
-            out_pair.append(np.full(tot, r, dtype=np.int32))
-            out_lp.append(lp[lidx])
-            out_rp.append(rp[ridx])
-            out_flip.append(np.full(tot, bool(flip)))
+        # divide-gap compression of left positions per read (anchor
+        # chain; jump loop over kept anchors)
+        keep = np.zeros(len(lread), dtype=bool)
+        b = 0
+        nl = len(lread)
+        while b < nl:
+            keep[b] = True
+            r = lread[b]
+            # next position beyond the gap within the same read run
+            hi = int(np.searchsorted(lread, r, "right"))
+            nxt = b + int(
+                np.searchsorted(
+                    lpos[b:hi], lpos[b] + params.divide_gap, "right"
+                )
+            )
+            b = nxt if nxt > b else b + 1
+        lread, lpos = lread[keep], lpos[keep]
+
+        # composite-key window join over ALL reads at once
+        rl_arr = np.asarray(rlen, dtype=np.int64)[lread]
+        margin = np.where(rl_arr > 100, 30, 25)
+        length_low = np.maximum(0, params.insert_low - rl_arr - margin)
+        length_high = params.insert_high - rl_arr + margin
+        BIG = np.int64(1) << 40
+        rkey = rread.astype(np.int64) * BIG + rpos
+        lo_key = lread.astype(np.int64) * BIG + lpos + length_low
+        hi_key = lread.astype(np.int64) * BIG + lpos + length_high
+        s = np.searchsorted(rkey, lo_key, "left")
+        e = np.searchsorted(rkey, hi_key, "right")
+        counts = e - s
+        tot = int(counts.sum())
+        if tot == 0:
+            continue
+        lidx = np.repeat(np.arange(len(lread)), counts)
+        within = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+        ridx = s[lidx] + within
+        out_pair.append(lread[lidx].astype(np.int32))
+        out_lp.append(lpos[lidx])
+        out_rp.append(rpos[ridx])
+        out_flip.append(np.full(tot, bool(flip)))
 
     if not out_pair:
         z = np.zeros(0)

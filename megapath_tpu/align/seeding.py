@@ -299,56 +299,78 @@ def decode_seeds(
     len_s = length[order]
     mult_s = multiplicity[order]
 
-    out_read: List[int] = []
-    out_strand: List[int] = []
-    out_pos: List[int] = []
-    out_cov: List[int] = []
-
     n = len(order)
+    # cluster ids: break on walker change or start > first-of-cluster +
+    # indel_fuzz (anchor-chain; jump loop over clusters, stats
+    # vectorized with reduceat below)
+    bounds: List[int] = []
     b = 0
-    # cluster scan per walker, gap <= indel_fuzz to the FIRST member
-    # (reference compares to sp.pos, the cluster's first offset)
-    per_read_clusters: dict = {}
-    while b < n:
-        w = walker_s[b]
-        e = b + 1
-        first = start_s[b]
-        while e < n and walker_s[e] == w and start_s[e] <= first + params.indel_fuzz:
-            e += 1
-        members = slice(b, e)
-        has_unique = bool(
-            np.any(
-                (mult_s[members] <= params.uniq_threshold)
-                & (len_s[members] >= params.seed_min_length)
+    wchange = np.flatnonzero(np.r_[True, walker_s[1:] != walker_s[:-1], True])
+    for wi in range(len(wchange) - 1):
+        lo, hi = int(wchange[wi]), int(wchange[wi + 1])
+        b = lo
+        while b < hi:
+            bounds.append(b)
+            e = int(
+                np.searchsorted(
+                    start_s[b:hi], start_s[b] + params.indel_fuzz, "right"
+                )
             )
+            b = b + e
+    bounds_arr = np.asarray(bounds, dtype=np.int64)
+    n_clusters = len(bounds_arr)
+    if n_clusters == 0:
+        z = np.zeros(0)
+        return SeedPositions(
+            z.astype(np.int32), z.astype(np.int8), z.astype(np.int64), z.astype(np.int32)
         )
-        cov = _union_len(off_s[members], off_s[members] + len_s[members])
-        r = int(w % n_reads)
-        if has_unique or cov >= params.good_seed_len:
-            per_read_clusters.setdefault(r, []).append(
-                (int(w >= n_reads), int(first), int(cov))
-            )
-        per_read_clusters.setdefault(r, [])
-        best = per_read_clusters.get(("max", r), 0)
-        per_read_clusters[("max", r)] = max(best, int(cov))
-        b = e
+    cluster_of = np.zeros(n, dtype=np.int64)
+    cluster_of[bounds_arr] = 1
+    cluster_of = np.cumsum(cluster_of) - 1
 
-    for r, clusters in per_read_clusters.items():
-        if isinstance(r, tuple):
-            continue
-        best = per_read_clusters.get(("max", r), 0)
-        for s, p, cov in clusters:
-            if cov >= params.short_seed_ratio * best:
-                out_read.append(r)
-                out_strand.append(s)
-                out_pos.append(p)
-                out_cov.append(cov)
+    # has_unique per cluster
+    uniq_flag = (
+        (mult_s <= params.uniq_threshold) & (len_s >= params.seed_min_length)
+    ).astype(np.int64)
+    has_unique = np.maximum.reduceat(uniq_flag, bounds_arr) > 0
 
+    # merged read-interval coverage per cluster (vectorized union):
+    # sort members by (cluster, interval start); running max of ends
+    # reset per cluster via the add-big-offset trick
+    o2 = np.lexsort((off_s, cluster_of))
+    cl2 = cluster_of[o2]
+    s2 = off_s[o2].astype(np.int64)
+    e2 = (off_s + len_s)[o2].astype(np.int64)
+    BIG = int(e2.max(initial=0)) + 1
+    shifted_e = e2 + cl2 * BIG
+    cummax = np.maximum.accumulate(shifted_e)
+    first_of_cluster = np.zeros(n, dtype=bool)
+    first_of_cluster[np.flatnonzero(np.r_[True, cl2[1:] != cl2[:-1]])] = True
+    prev_max = np.where(
+        first_of_cluster, cl2 * BIG, np.r_[cl2[0] * BIG, cummax[:-1]]
+    ) - cl2 * BIG
+    add = np.maximum(0, e2 - np.maximum(s2, prev_max))
+    cov = np.add.reduceat(add, np.flatnonzero(first_of_cluster))
+    # reduceat groups are per (sorted) cluster == cluster index order
+    coverage = cov.astype(np.int64)
+
+    cl_walker = walker_s[bounds_arr]
+    cl_read = (cl_walker % n_reads).astype(np.int64)
+    cl_strand = (cl_walker >= n_reads).astype(np.int8)
+    cl_pos = start_s[bounds_arr]
+
+    # per-read max coverage (over ALL clusters, both strands)
+    best_cov = np.zeros(n_reads, dtype=np.int64)
+    np.maximum.at(best_cov, cl_read, coverage)
+
+    keep = (has_unique | (coverage >= params.good_seed_len)) & (
+        coverage >= params.short_seed_ratio * best_cov[cl_read]
+    )
     return SeedPositions(
-        read=np.asarray(out_read, dtype=np.int32),
-        strand=np.asarray(out_strand, dtype=np.int8),
-        pos=np.asarray(out_pos, dtype=np.int64),
-        coverage=np.asarray(out_cov, dtype=np.int32),
+        read=cl_read[keep].astype(np.int32),
+        strand=cl_strand[keep],
+        pos=cl_pos[keep].astype(np.int64),
+        coverage=coverage[keep].astype(np.int32),
     )
 
 

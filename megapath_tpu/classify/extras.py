@@ -1,0 +1,121 @@
+"""Protein-remap and contaminant-cleanup toolchain equivalents.
+
+- m8_to_lsam:   DIAMOND blastx m8 -> LSAM (/root/reference/m8_to_lsam.pl)
+- r2c_to_r2g:   read->contig LSAM x contig->genome LSAM -> read->genome
+                (/root/reference/r2c_to_r2g.pl transitive hit join)
+- cleanup:      contaminant (human/synthetic) homolog species removal
+                (/root/reference/cc/cleanup.cpp; present in the
+                reference but commented out of its driver)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Iterable, Iterator, List, Optional, Set, Tuple
+
+from megapath_tpu.io.lsam import LsamRecord, parse_hits, _fmt_score
+
+
+def m8_to_lsam(lines: Iterable[str]) -> Iterator[LsamRecord]:
+    """DIAMOND m8 rows -> LSAM records (one per query, merged hits).
+
+    m8 columns: qseqid sseqid pident len mm go qs qe ss se evalue
+    bitscore; the reference variant carries 0x1-joined taxids in col 2
+    and takes the bitscore (col 12) as the score (m8_to_lsam.pl:20-45).
+    """
+    cur: Optional[str] = None
+    hits: List[Tuple[float, str]] = []
+
+    def flush():
+        nonlocal cur, hits
+        if cur is not None:
+            best = max((s for s, _ in hits), default=0)
+            yield LsamRecord(
+                name=cur, flag=0, score=int(best), seq="*", qual="*", hits=hits
+            )
+        cur, hits = None, []
+
+    for line in lines:
+        cols = line.rstrip("\n").split("\t")
+        if len(cols) < 12:
+            continue
+        q, s, bit = cols[0], cols[1], float(cols[11])
+        if q != cur:
+            yield from flush()
+            cur = q
+        for tid in s.split("\x01"):
+            hits.append((bit, tid))
+    yield from flush()
+
+
+def r2c_to_r2g(
+    read2contig: Iterable[LsamRecord], contig2genome: Iterable[LsamRecord]
+) -> Iterator[LsamRecord]:
+    """Transitive join: read->contig hits x contig->genome hits.
+
+    The read inherits each of its contigs' genome hits, keeping the
+    read's own alignment score (r2c_to_r2g.pl:30-70 semantics: score of
+    the read-to-contig alignment, max per genome target).
+    """
+    c2g: Dict[str, List[Tuple[float, str]]] = defaultdict(list)
+    for rec in contig2genome:
+        c2g[rec.name].extend(rec.hits)
+
+    for rec in read2contig:
+        merged: Dict[str, float] = {}
+        for score, contig in rec.hits:
+            for _, genome in c2g.get(contig, []):
+                if score > merged.get(genome, 0):
+                    merged[genome] = score
+        yield LsamRecord(
+            name=rec.name,
+            flag=rec.flag,
+            score=rec.score,
+            seq=rec.seq,
+            qual=rec.qual,
+            hits=sorted(((s, g) for g, s in merged.items()), key=lambda x: x[1]),
+            opts=rec.opts,
+        )
+
+
+def cleanup_contaminants(
+    records: List[LsamRecord],
+    contaminant_tids: Set[int] = frozenset({9606, 32630}),
+    score_tolerance: float = 10.0,
+    fraction: float = 0.5,
+) -> Tuple[List[LsamRecord], Set[int]]:
+    """Remove species explained by contaminants (cleanup.cpp:35-136).
+
+    A species is contaminant-explained when >= ``fraction`` of its
+    reads carry a contaminant hit scoring within ``score_tolerance`` of
+    the species hit. Returns (rewritten records, removed species set).
+    """
+    total: Dict[int, int] = defaultdict(int)
+    close: Dict[int, int] = defaultdict(int)
+    for rec in records:
+        tids = {int(float(t)): s for s, t in rec.hits}
+        cont_best = max(
+            (s for t, s in tids.items() if t in contaminant_tids), default=None
+        )
+        for t, s in tids.items():
+            if t in contaminant_tids:
+                continue
+            total[t] += 1
+            if cont_best is not None and s <= cont_best + score_tolerance:
+                close[t] += 1
+
+    removed = {
+        t for t in total if total[t] > 0 and close[t] >= fraction * total[t]
+    }
+
+    out: List[LsamRecord] = []
+    for rec in records:
+        kept = [
+            (s, t) for s, t in rec.hits if int(float(t)) not in removed
+        ]
+        out.append(
+            LsamRecord(
+                rec.name, rec.flag, rec.score, rec.seq, rec.qual, kept, rec.opts
+            )
+        )
+    return out, removed
