@@ -98,6 +98,13 @@ def main() -> None:
 
     import jax
 
+    # persistent compile cache: the axon remote-compile path is slow and
+    # occasionally wedges; cached executables make reruns immune
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(CACHE, "jaxcache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     log(f"devices: {jax.devices()}")
     ref, fm, reads1, lens1, reads2, lens2 = build_workload()
 

@@ -18,12 +18,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def suffix_array(codes: np.ndarray) -> np.ndarray:
+def suffix_array(codes: np.ndarray, native: bool = True) -> np.ndarray:
     """Suffix array of ``codes`` (uint8, values 0..3) as int64 [n].
 
-    Prefix doubling with np.lexsort; ranks use the implicit terminal
-    sentinel (rank -1 beyond the end).
+    Uses the native linear-time SA-IS builder when available
+    (megapath_tpu.native), falling back to numpy prefix doubling.
     """
+    if native and len(codes) > 1:
+        try:
+            from megapath_tpu.native.build import suffix_array_native
+
+            sa = suffix_array_native(codes)
+            if sa is not None:
+                return sa
+        except Exception:
+            pass
+    return _suffix_array_doubling(codes)
+
+
+def _suffix_array_doubling(codes: np.ndarray) -> np.ndarray:
+    """numpy prefix-doubling fallback (O(n log^2 n))."""
     n = len(codes)
     if n == 0:
         return np.zeros(0, dtype=np.int64)

@@ -1,0 +1,81 @@
+"""Amplicon pipeline end-to-end test: decoy filtering + SNP calling."""
+
+import numpy as np
+import pytest
+
+from megapath_tpu.index.fm import build_fm_index
+from megapath_tpu.index.pack import COMPLEMENT, decode_seq, pack_fasta
+from megapath_tpu.io.fastq import FastqRecord
+from megapath_tpu.pipeline.amplicon import AmpliconConfig, AmpliconPipeline
+
+
+@pytest.fixture(scope="module")
+def amp_world():
+    rng = np.random.default_rng(77)
+    tb = rng.integers(0, 4, 6000).astype(np.uint8)
+    human = rng.integers(0, 4, 6000).astype(np.uint8)
+
+    def pack(name, codes):
+        ref = pack_fasta([FastqRecord(name, decode_seq(codes), "", "")])
+        fm = build_fm_index(ref.codes, sa_interval=4, lut_k=6)
+        return ref, fm
+
+    return pack("TB", tb), pack("chr1", human), tb, human
+
+
+def _pairs(codes, n, rng, read_len=100, ins=300, snp_at=None):
+    r1 = []
+    r2 = []
+    qual = "I" * read_len
+    src = codes.copy()
+    if snp_at is not None:
+        src[snp_at] = (src[snp_at] + 1) % 4
+    for i in range(n):
+        p = int(rng.integers(0, len(src) - ins))
+        if snp_at is not None:
+            # center reads around the SNP so it is covered
+            p = int(rng.integers(max(0, snp_at - ins + read_len + 10),
+                                 min(len(src) - ins, snp_at - 10)))
+        a = src[p : p + read_len]
+        seg = src[p + ins - read_len : p + ins]
+        b = COMPLEMENT[seg[::-1]]
+        r1.append(FastqRecord(f"p{i}", decode_seq(a), qual))
+        r2.append(FastqRecord(f"p{i}", decode_seq(b), qual))
+    return r1, r2
+
+
+def test_amplicon_pipeline_calls_snp(amp_world):
+    (tb_ref, human_ref), _, tb, human = amp_world[0], amp_world[1], amp_world[2], amp_world[3]
+    tb_pack = amp_world[0]
+    hg_pack = amp_world[1]
+    rng = np.random.default_rng(9)
+
+    pipe = AmpliconPipeline(
+        target=tb_pack,
+        decoys=[hg_pack],
+        config=AmpliconConfig(final_as=80, min_depth=3),
+    )
+
+    snp_pos = 3000
+    r1, r2 = _pairs(tb, 20, rng, snp_at=snp_pos)
+    # add human contamination pairs (should be decoy-filtered)
+    h1, h2 = _pairs(human, 5, rng)
+    for i, (a, b) in enumerate(zip(h1, h2)):
+        a.name = b.name = f"hum{i}"
+    res = pipe.run_records(r1 + h1, r2 + h2)
+
+    assert res.n_after_qc == 25
+    assert res.n_after_decoy == 20  # human pairs removed
+    assert res.n_final == 20
+    assert any(v.pos == snp_pos and v.alt == "ACGT"[(tb[snp_pos] + 1) % 4]
+               for v in res.variants), res.variants
+
+
+def test_amplicon_pipeline_no_false_calls(amp_world):
+    tb_pack = amp_world[0]
+    tb = amp_world[2]
+    rng = np.random.default_rng(10)
+    pipe = AmpliconPipeline(target=tb_pack, config=AmpliconConfig(final_as=80, min_depth=3))
+    r1, r2 = _pairs(tb, 15, rng)
+    res = pipe.run_records(r1, r2)
+    assert res.variants == []

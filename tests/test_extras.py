@@ -1,0 +1,103 @@
+"""Tests: streaming reader, bbnorm, protein-path tools, accuracy, CLI."""
+
+import numpy as np
+
+from megapath_tpu.classify.extras import cleanup_contaminants, m8_to_lsam, r2c_to_r2g
+from megapath_tpu.filters.bbnorm import normalize_pairs
+from megapath_tpu.io.lsam import LsamRecord
+from megapath_tpu.io.stream import stream_read_pairs
+from megapath_tpu.utils.accuracy import evaluate
+
+
+def test_stream_read_pairs(tmp_path):
+    r1 = tmp_path / "a_1.fq"
+    r2 = tmp_path / "a_2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(25):
+            f1.write(f"@r{i}/1\nACGTACGT\n+\nIIIIIIII\n")
+            f2.write(f"@r{i}/2\nTTGGCCAA\n+\nIIIIIIII\n")
+    batches = list(stream_read_pairs(r1, r2, batch_size=10, max_len=16))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    assert batches[0].names[0] == "r0"
+    assert batches[0].reads1.shape == (10, 16)
+    assert batches[2].lens2.tolist() == [8] * 5
+
+
+def test_bbnorm_downsamples_deep_coverage():
+    rng = np.random.default_rng(0)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 500))
+    # 200 identical-region pairs (deep) + 20 unique pairs
+    deep1 = [seq[0:100]] * 200
+    deep2 = [seq[100:200]] * 200
+    uniq1 = ["".join("ACGT"[i] for i in rng.integers(0, 4, 100)) for _ in range(20)]
+    uniq2 = ["".join("ACGT"[i] for i in rng.integers(0, 4, 100)) for _ in range(20)]
+    keep = normalize_pairs(deep1 + uniq1, deep2 + uniq2, target=20)
+    assert keep[200:].all()  # unique reads all kept
+    kept_deep = keep[:200].sum()
+    assert 15 <= kept_deep <= 120  # deep region cut to well below 200
+
+
+def test_m8_to_lsam():
+    lines = [
+        "read1\t562\t99.0\t100\t1\t0\t1\t100\t5\t104\t1e-30\t180.5",
+        "read1\t28901\x01562\t98.0\t100\t2\t0\t1\t100\t5\t104\t1e-28\t170",
+        "read2\t9606\t90\t80\t8\t0\t1\t80\t3\t82\t1e-10\t95.2",
+    ]
+    recs = list(m8_to_lsam(lines))
+    assert len(recs) == 2
+    assert recs[0].name == "read1"
+    assert recs[0].score == 180
+    assert (170.0, "28901") in recs[0].hits
+    assert (170.0, "562") in recs[0].hits
+
+
+def test_r2c_to_r2g():
+    r2c = [LsamRecord("read1", 0, 90, hits=[(90.0, "contig1")])]
+    c2g = [LsamRecord("contig1", 0, 500, hits=[(500.0, "NC_1"), (450.0, "NC_2")])]
+    out = list(r2c_to_r2g(iter(r2c), iter(c2g)))
+    assert out[0].hits == [(90.0, "NC_1"), (90.0, "NC_2")] or sorted(
+        t for _, t in out[0].hits
+    ) == ["NC_1", "NC_2"]
+    assert all(s == 90.0 for s, _ in out[0].hits)
+
+
+def test_cleanup_contaminants():
+    # species 562 always co-occurs with human at similar score -> removed
+    recs = []
+    for i in range(10):
+        recs.append(LsamRecord(f"r{i}", 0, 150, hits=[(100.0, "562"), (98.0, "9606")]))
+    for i in range(10):
+        recs.append(LsamRecord(f"s{i}", 0, 150, hits=[(100.0, "28901")]))
+    out, removed = cleanup_contaminants(recs, fraction=0.5)
+    assert removed == {562}
+    assert all("562" not in [t for _, t in r.hits] for r in out)
+    assert any("28901" in [t for _, t in r.hits] for r in out)
+
+
+def test_accuracy_eval(mini_taxdb):
+    recs = [
+        LsamRecord("read_ecoli_1", 0, 150, hits=[(150.0, "562")]),
+        LsamRecord("read_ecoli_2", 0, 150, hits=[(150.0, "28901")]),  # wrong
+        LsamRecord("read_salm_1", 0, 20, hits=[(20.0, "28901")]),  # low score
+    ]
+    truth = {"read_ecoli_1": 562, "read_ecoli_2": 562, "read_salm_1": 28901}
+    st = evaluate(recs, truth.get, mini_taxdb)
+    assert st.tp == 1
+    assert st.fn == 2
+    assert st.fp == 1
+    assert 0 < st.sensitivity < 1
+
+
+def test_cli_report(tmp_path, fixtures_dir, capsys):
+    from megapath_tpu.cli import main
+
+    rc = main([
+        "report",
+        str(fixtures_dir / "nodes.dmp"),
+        str(fixtures_dir / "names.dmp"),
+        str(fixtures_dir / "golden.lsam.id"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    golden = (fixtures_dir / "golden.report").read_text()
+    assert out == golden
