@@ -1,0 +1,89 @@
+"""Assembly path tests: unitig assembler, viral extraction, r2c."""
+
+import numpy as np
+
+from megapath_tpu.index.dbtools import (
+    dedup_sequences,
+    mask_lowercase_with_n,
+    prepare_kraken_fasta,
+)
+from megapath_tpu.io.fastq import FastqRecord
+from megapath_tpu.io.lsam import LsamRecord
+from megapath_tpu.pipeline.assembly import (
+    assemble_unitigs,
+    assembly_path,
+    extract_viral_and_unmapped,
+)
+
+
+def _seq(n, seed):
+    rng = np.random.default_rng(seed)
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+
+def test_unitig_assembler_recovers_contig():
+    genome = _seq(600, 1)
+    reads = [genome[i : i + 80] for i in range(0, 520, 7)]
+    contigs = assemble_unitigs(reads, k=31, min_count=2, min_len=200)
+    assert contigs
+    best = max(contigs, key=len)
+    comp = str.maketrans("ACGT", "TGCA")
+    assert best in genome or best.translate(comp)[::-1] in genome
+    assert len(best) > 400
+
+
+def test_unitig_assembler_handles_two_sources():
+    g1, g2 = _seq(400, 2), _seq(400, 3)
+    reads = [g1[i : i + 70] for i in range(0, 330, 6)] + [
+        g2[i : i + 70] for i in range(0, 330, 6)
+    ]
+    contigs = assemble_unitigs(reads, k=31, min_len=150)
+    assert len(contigs) >= 2
+
+
+def test_extract_viral_and_unmapped():
+    recs1 = [FastqRecord("a", "ACGT" * 20, "I" * 80),
+             FastqRecord("b", "ACGT" * 20, "I" * 80),
+             FastqRecord("c", "ACGT" * 20, "I" * 80)]
+    recs2 = [FastqRecord("a", "ACGT" * 20, "I" * 80),
+             FastqRecord("b", "ACGT" * 20, "I" * 80),
+             FastqRecord("c", "ACGT" * 20, "I" * 80)]
+    lsam = [
+        LsamRecord("a", 0x40, 150, hits=[(150.0, "562")]),
+        LsamRecord("a", 0x80, 150, hits=[(150.0, "562")]),
+        LsamRecord("b", 0x40, 10, hits=[]),  # unmapped
+        LsamRecord("b", 0x80, 150, hits=[(150.0, "562")]),
+        LsamRecord("c", 0x40, 150, hits=[(150.0, "694009")], opts=["Viruses"]),
+        LsamRecord("c", 0x80, 150, hits=[(150.0, "694009")], opts=["Viruses"]),
+    ]
+    o1, o2 = extract_viral_and_unmapped(lsam, recs1, recs2, threshold=40)
+    assert [r.name for r in o1] == ["b", "c"]
+
+
+def test_assembly_path_end_to_end():
+    genome = _seq(800, 5)
+    comp = str.maketrans("ACGT", "TGCA")
+    qual = "I" * 80
+    r1, r2 = [], []
+    rng = np.random.default_rng(6)
+    for i in range(60):
+        p = int(rng.integers(0, 800 - 300))
+        a = genome[p : p + 80]
+        b = genome[p + 220 : p + 300].translate(comp)[::-1]
+        r1.append(FastqRecord(f"p{i}", a, qual))
+        r2.append(FastqRecord(f"p{i}", b, qual))
+    res = assembly_path(r1, r2, norm_target=100, k=31, min_contig=150)
+    assert res.contigs
+    assert res.read2contig
+    mapped = {r.name for r in res.read2contig}
+    assert len(mapped) > 30
+
+
+def test_dbtools():
+    rec = FastqRecord("NC_1.1", "ACgtAC", "", "")
+    assert mask_lowercase_with_n(rec).seq == "ACNNAC"
+    recs = [FastqRecord("a", "ACGT", "", ""), FastqRecord("b", "ACGT", "", ""),
+            FastqRecord("c", "GGGG", "", "")]
+    assert [r.name for r in dedup_sequences(recs)] == ["a", "c"]
+    out = list(prepare_kraken_fasta([FastqRecord("NC_1.1", "AC", "", "")], {"NC_1": 562}))
+    assert out[0].name == "kraken:taxid|562|NC_1.1"
