@@ -43,6 +43,27 @@ def best_per_seq(
     return table
 
 
+def best_per_seq_arrays(
+    hits: BatchHits, megapath_mode: int = 1
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized group-best: returns (read, end, seq, best_score)
+    arrays with one row per (read, end, seq) group."""
+    if len(hits) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z.astype(np.int8), z.astype(np.int32), z.astype(np.int32)
+    m = np.ones(len(hits), dtype=bool)
+    if megapath_mode == 2:
+        m = hits.paired
+    read, end, seq, score = hits.read[m], hits.end[m], hits.seq[m], hits.score[m]
+    order = np.lexsort((-score, seq, read, end))
+    read, end, seq, score = read[order], end[order], seq[order], score[order]
+    first = np.r_[
+        True,
+        (read[1:] != read[:-1]) | (end[1:] != end[:-1]) | (seq[1:] != seq[:-1]),
+    ]
+    return read[first], end[first], seq[first], score[first]
+
+
 def format_comment(
     seq_scores: Dict[int, int],
     ref: PackedReference,

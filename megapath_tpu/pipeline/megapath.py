@@ -90,6 +90,21 @@ class MegaPathPipeline:
             if hg_shard is not None
             else None
         )
+        # per-shard seq -> species taxid (and superkingdom), vectorized
+        # lookup tables for the array merge path (-1 = unknown acc)
+        self._species_of: List[np.ndarray] = []
+        self._sk_of: List[np.ndarray] = []
+        for ref, _ in nt_shards:
+            sp = np.full(len(ref.names), -1, dtype=np.int64)
+            sk = np.zeros(len(ref.names), dtype=np.int64)
+            for j, name in enumerate(ref.names):
+                acc = remove_version(get_correct_acc(name))
+                tid = taxdb.acc2tid.get(acc)
+                if tid is not None:
+                    sp[j] = taxdb.pop_to_species(tid)
+                    sk[j] = taxdb.superkingdom_of(tid)
+            self._species_of.append(sp)
+            self._sk_of.append(sk)
 
     # ------------------------------------------------------------------
     def run_files(self, r1_path, r2_path, out_prefix: str) -> PipelineResult:
@@ -158,24 +173,13 @@ class MegaPathPipeline:
                 else BatchHits.empty()
             )
 
-        # merged per-(end, read): {(shard, seq): best score}
-        merged: List[List[Dict[Tuple[int, int], int]]] = [
-            [dict() for _ in range(n_hg)] for _ in range(2)
-        ]
-        for si, hits in enumerate(per_shard_hits):
-            t = best_per_seq(hits, n_hg, megapath_mode=1)
-            for e in range(2):
-                for i in range(n_hg):
-                    for seq, sc in t[e][i].items():
-                        key = (si, seq)
-                        if sc > merged[e][i].get(key, 0):
-                            merged[e][i][key] = sc
-
         # -- SPIKE filter (runMegaPath.sh:211-221) ---------------------
         spike_removed = self._spike_banned(per_shard_hits, n_hg)
 
-        # -- taxid lookup (taxLookupAcc semantics) ---------------------
-        lsam_id = self._to_lsam_id(recs1, recs2, merged, spike_removed, n_hg)
+        # -- array hit merge + taxid lookup (taxLookupAcc) -------------
+        lsam_id = self._merge_to_lsam_id(
+            recs1, recs2, per_shard_hits, spike_removed, n_hg
+        )
         n_spiked = len(spike_removed)
 
         # -- 3. reassignment + reports (runMegaPath.sh:235-265) --------
@@ -238,49 +242,104 @@ class MegaPathPipeline:
             banned.update(int(b) for b in bad)
         return banned
 
-    def _to_lsam_id(
+    def _merge_to_lsam_id(
         self,
         recs1: List[FastqRecord],
         recs2: List[FastqRecord],
-        merged,
+        per_shard_hits: List[BatchHits],
         spike_banned: set,
         n: int,
     ) -> List[LsamRecord]:
-        """Per read end: accession hits -> species taxids, max score per
-        species, top-percentage retention (taxLookupAcc + cfq merge)."""
-        out: List[LsamRecord] = []
-        db = self.taxdb
+        """Array merge across shards -> species hits per read end.
+
+        Equivalent of the cfq-comment chain + taxLookupAcc: per
+        (end, read) keep max score per species, apply the
+        top-percentage retention against the per-end best.
+        """
+        from megapath_tpu.align.output import best_per_seq_arrays
+
         top = self.cfg.top_percentage
+        db = self.taxdb
+
+        reads_l, ends_l, sp_l, sk_l, sc_l = [], [], [], [], []
+        for si, hits in enumerate(per_shard_hits):
+            r, e, q, s = best_per_seq_arrays(hits, megapath_mode=1)
+            reads_l.append(r)
+            ends_l.append(e)
+            sp_l.append(self._species_of[si][q])
+            sk_l.append(self._sk_of[si][q])
+            sc_l.append(s)
+        if reads_l:
+            read = np.concatenate(reads_l)
+            end = np.concatenate(ends_l)
+            sp = np.concatenate(sp_l)
+            sk = np.concatenate(sk_l)
+            score = np.concatenate(sc_l).astype(np.int64)
+        else:
+            read = np.zeros(0, np.int32)
+            end = np.zeros(0, np.int8)
+            sp = sk = np.zeros(0, np.int64)
+            score = np.zeros(0, np.int64)
+
+        known = sp >= 0
+        read, end, sp, sk, score = (
+            read[known], end[known], sp[known], sk[known], score[known]
+        )
+        # best per (end, read, species)
+        order = np.lexsort((-score, sp, read, end))
+        read, end, sp, sk, score = (
+            read[order], end[order], sp[order], sk[order], score[order]
+        )
+        first = np.r_[
+            True,
+            (read[1:] != read[:-1]) | (end[1:] != end[:-1]) | (sp[1:] != sp[:-1]),
+        ]
+        read, end, sp, sk, score = (
+            read[first], end[first], sp[first], sk[first], score[first]
+        )
+        # per (end, read) best for thresholding
+        best = np.zeros((2, n), dtype=np.int64)
+        np.maximum.at(best, (end.astype(np.int64), read.astype(np.int64)), score)
+        keep = score >= best[end.astype(np.int64), read.astype(np.int64)] * top
+        read, end, sp, sk, score = (
+            read[keep], end[keep], sp[keep], sk[keep], score[keep]
+        )
+
+        # group rows per (read, end) for record building
+        order = np.lexsort((sp, end, read))
+        read, end, sp, sk, score = (
+            read[order], end[order], sp[order], sk[order], score[order]
+        )
+        bounds = np.flatnonzero(
+            np.r_[True, (read[1:] != read[:-1]) | (end[1:] != end[:-1])]
+        )
+        groups: Dict[Tuple[int, int], slice] = {}
+        for gi, b in enumerate(bounds):
+            e_ = bounds[gi + 1] if gi + 1 < len(bounds) else len(read)
+            groups[(int(read[b]), int(end[b]))] = slice(b, e_)
+
+        out: List[LsamRecord] = []
         for i in range(n):
             if i in spike_banned:
                 continue
-            for e, recs in ((0, recs1), (1, recs2)):
+            for e_, recs in ((0, recs1), (1, recs2)):
                 rec = recs[i]
-                hitmap = merged[e][i]
-                best = max(hitmap.values(), default=0)
-                tid_score: Dict[int, float] = {}
-                if best > 0:
-                    thr = best * top
-                    for (si, seq), sc in hitmap.items():
-                        if sc <= 0 or sc < thr:
-                            continue
-                        name = self.nt_engines[si].ref.names[seq]
-                        acc = remove_version(get_correct_acc(name))
-                        tid = db.acc2tid.get(acc)
-                        if tid is None:
-                            continue
-                        sp = db.pop_to_species(tid)
-                        if sc > tid_score.get(sp, 0):
-                            tid_score[sp] = sc
-                sks = sorted({db.superkingdom_of(t) for t in tid_score} - {0})
+                g = groups.get((i, e_))
+                if g is None:
+                    out.append(
+                        LsamRecord(rec.name, 0x40 if e_ == 0 else 0x80,
+                                   int(best[e_, i]), rec.seq, rec.qual, [], [])
+                    )
+                    continue
+                sks = sorted(set(int(x) for x in sk[g]) - {0})
                 out.append(
                     LsamRecord(
                         name=rec.name,
-                        flag=0x40 if e == 0 else 0x80,
-                        score=int(best),
+                        flag=0x40 if e_ == 0 else 0x80,
+                        score=int(best[e_, i]),
                         seq=rec.seq,
                         qual=rec.qual,
-                        hits=[(float(s), str(t)) for t, s in sorted(tid_score.items())],
+                        hits=[(float(s_), str(int(t))) for s_, t in zip(score[g], sp[g])],
                         opts=[db.name_of(t) for t in sks],
                     )
                 )
