@@ -1,0 +1,150 @@
+"""Pallas TPU kernel for the batched affine-gap DP (the hot loop).
+
+Same contract as megapath_tpu.ops.dp.sw_align, but the whole
+read-column scan runs inside one Pallas program per candidate tile:
+H/F state lives in VMEM scratch across all R steps (the XLA scan
+version re-materializes carries through HBM-visible buffers), the
+in-column gap chain is the log-shift prefix max, and the per-step
+best-cell reduction stays on-chip. This is the CPU_DP.cpp equivalent
+(SURVEY.md §2.1) expressed for the VPU's (8, 128) lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from megapath_tpu.ops.dp import DPParams, DPResult
+
+NEG = -(10**6)
+
+
+def _dp_kernel(
+    reads_ref,  # (BT, R) int32
+    refs_ref,  # (BT, W) int32
+    lens_ref,  # (BT, 1) int32
+    wlens_ref,  # (BT, 1) int32
+    score_ref,  # (BT, 1) int32 out
+    endi_ref,  # (BT, 1) int32 out
+    endj_ref,  # (BT, 1) int32 out
+    H,  # (BT, W) int32 scratch
+    F,  # (BT, W) int32 scratch
+    *,
+    R: int,
+    W: int,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_extend: int,
+):
+    BT = H.shape[0]
+    refs = refs_ref[:, :]
+    lens = lens_ref[:, :]  # (BT, 1)
+    wlens = wlens_ref[:, :]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BT, W), dimension=1)
+    row_valid = col_ids < wlens  # (BT, W)
+    decay = col_ids * gap_extend
+
+    H[:, :] = jnp.zeros((BT, W), jnp.int32)
+    F[:, :] = jnp.full((BT, W), NEG, jnp.int32)
+    score_ref[:, :] = jnp.zeros((BT, 1), jnp.int32)
+    endi_ref[:, :] = jnp.zeros((BT, 1), jnp.int32)
+    endj_ref[:, :] = jnp.zeros((BT, 1), jnp.int32)
+
+    n_shift = (W - 1).bit_length()
+
+    def step(j, _):
+        read_c = reads_ref[:, pl.ds(j, 1)]  # (BT, 1)
+        sub = jnp.where(refs == read_c, match, mismatch)
+
+        h_prev = H[:, :]
+        f_prev = F[:, :]
+        f_new = jnp.maximum(h_prev + gap_open, f_prev + gap_extend)
+        h_shift = jnp.pad(h_prev[:, : W - 1], ((0, 0), (1, 0)))
+        m = h_shift + sub
+        h_noE = jnp.maximum(jnp.maximum(m, f_new), 0)
+
+        # prefix max of Y = h_noE + go - decay via log-shift doubling
+        y = h_noE + gap_open - decay
+        for p in range(n_shift):
+            d = 1 << p
+            y = jnp.maximum(y, jnp.pad(y[:, : W - d], ((0, 0), (d, 0)),
+                                       constant_values=NEG))
+        y_shift = jnp.pad(y[:, : W - 1], ((0, 0), (1, 0)), constant_values=NEG)
+        e = y_shift + decay - gap_extend
+        h_new = jnp.maximum(h_noE, e)
+
+        col_ok = (j < lens)  # (BT, 1)
+        hv = jnp.where(row_valid & col_ok, h_new, 0)
+        col_best = jnp.max(hv, axis=1, keepdims=True)  # (BT, 1)
+        col_arg = jnp.argmax(hv, axis=1).reshape(BT, 1).astype(jnp.int32)
+        better = col_best > score_ref[:, :]
+        score_ref[:, :] = jnp.where(better, col_best, score_ref[:, :])
+        endi_ref[:, :] = jnp.where(better, col_arg + 1, endi_ref[:, :])
+        endj_ref[:, :] = jnp.where(better, j + 1, endj_ref[:, :])
+
+        H[:, :] = jnp.where(col_ok, h_new, h_prev)
+        F[:, :] = jnp.where(col_ok, f_new, f_prev)
+        return 0
+
+    jax.lax.fori_loop(0, R, step, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "block_b", "interpret")
+)
+def sw_align_pallas(
+    reads: jnp.ndarray,  # uint8/int32 [C, R]
+    refs: jnp.ndarray,  # uint8/int32 [C, W]
+    read_lens: jnp.ndarray,  # int32 [C]
+    ref_lens: jnp.ndarray,  # int32 [C]
+    params: DPParams = DPParams(),
+    block_b: int = 8,
+    interpret: bool = False,
+) -> DPResult:
+    C, R = reads.shape
+    W = refs.shape[1]
+    assert C % block_b == 0, "pad candidate count to a block multiple"
+    grid = (C // block_b,)
+
+    kernel = functools.partial(
+        _dp_kernel,
+        R=R,
+        W=W,
+        match=params.match,
+        mismatch=params.mismatch,
+        gap_open=params.gap_open,
+        gap_extend=params.gap_extend,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+    ]
+    bs = lambda cols: pl.BlockSpec((block_b, cols), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    score, endi, endj = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[bs(R), bs(W), bs(1), bs(1)],
+        out_specs=[bs(1), bs(1), bs(1)],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, W), jnp.int32),
+            pltpu.VMEM((block_b, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        reads.astype(jnp.int32),
+        refs.astype(jnp.int32),
+        read_lens.astype(jnp.int32).reshape(C, 1),
+        ref_lens.astype(jnp.int32).reshape(C, 1),
+    )
+    return DPResult(
+        score=score[:, 0], end_ref=endi[:, 0], end_read=endj[:, 0]
+    )
