@@ -196,34 +196,43 @@ class AlignEngine:
     def seed_positions(
         self, reads: np.ndarray, lens: np.ndarray
     ) -> SeedPositions:
-        walkers, wlens = make_walkers_fast(reads, lens)
         if self.dfm is not None:
-            seeds = self._device_seeds(walkers, wlens)
+            seeds = self._device_seeds(reads, lens)
             locate = self._device_locate
         else:
+            walkers, wlens = make_walkers_fast(reads, lens)
             seeds = mmp_seed(walkers, wlens, self.fm, self.params.mmp)
             locate = None
         return decode_seeds(
             seeds, self.fm, lens, len(reads), self.params.mmp, locate_fn=locate
         )
 
-    def _device_seeds(self, walkers: np.ndarray, wlens: np.ndarray):
-        from megapath_tpu.align.seeding_jax import device_mmp_seed
+    def _device_seeds(self, reads: np.ndarray, lens: np.ndarray):
+        """Device MMP over [reads; revcomp] (walkers built on device)."""
+        from megapath_tpu.align.seeding_jax import device_mmp_seed_pairs
         from megapath_tpu.align.seeding import Seeds
 
-        W = walkers.shape[0]
-        Wb = _bucket(W)
-        if Wb != W:
-            walkers = np.concatenate(
-                [walkers, np.zeros((Wb - W, walkers.shape[1]), walkers.dtype)]
+        N = reads.shape[0]
+        Nb = _bucket(N)
+        if Nb != N:
+            reads = np.concatenate(
+                [reads, np.zeros((Nb - N, reads.shape[1]), reads.dtype)]
             )
-            wlens = np.concatenate([wlens, np.zeros(Wb - W, wlens.dtype)])
-        out = device_mmp_seed(self.dfm, walkers, wlens, self.params.mmp)
-        n_seeds = np.asarray(out.n_seeds)[:W]
-        off = np.asarray(out.offset)[:W]
-        lng = np.asarray(out.length)[:W]
-        slo = np.asarray(out.sa_lo)[:W]
-        scnt = np.asarray(out.sa_count)[:W]
+            lens = np.concatenate([lens, np.zeros(Nb - N, lens.dtype)])
+        out = device_mmp_seed_pairs(
+            self.dfm, reads, lens.astype(np.int32), self.params.mmp
+        )
+        # walker w of the un-padded batch: fwd rows [0,N), rc rows
+        # [Nb, Nb+N) map back to [N, 2N)
+        n_seeds = np.asarray(out.n_seeds).astype(np.int32)
+        off = np.asarray(out.offset).astype(np.int32)
+        lng = np.asarray(out.length).astype(np.int32)
+        slo = np.asarray(out.sa_lo)
+        scnt = np.asarray(out.sa_count).astype(np.int32)
+        sel = np.r_[np.arange(N), Nb + np.arange(N)]
+        n_seeds, off, lng, slo, scnt = (
+            n_seeds[sel], off[sel], lng[sel], slo[sel], scnt[sel]
+        )
         cols = np.arange(off.shape[1])[None, :]
         mask = cols < n_seeds[:, None]
         ws, js = np.nonzero(mask)

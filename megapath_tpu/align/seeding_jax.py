@@ -130,11 +130,39 @@ def extend_backward(
 
 
 class DeviceSeeds(NamedTuple):
-    offset: jnp.ndarray  # int32 [W, S]
-    length: jnp.ndarray  # int32 [W, S]
+    offset: jnp.ndarray  # uint8 [W, S] (read offsets < 256)
+    length: jnp.ndarray  # uint8 [W, S]
     sa_lo: jnp.ndarray  # int32 [W, S]
-    sa_count: jnp.ndarray  # int32 [W, S]
-    n_seeds: jnp.ndarray  # int32 [W]
+    sa_count: jnp.ndarray  # uint8 [W, S] (capped at threshold+1)
+    n_seeds: jnp.ndarray  # uint8 [W]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "max_seeds", "max_steps")
+)
+def device_mmp_seed_pairs(
+    dfm: DeviceFM,
+    reads: jnp.ndarray,  # uint8 [N, L] forward reads (both ends stacked)
+    lens: jnp.ndarray,  # int32 [N]
+    params: MmpParams,
+    max_seeds: int = 16,
+    max_steps: int | None = None,
+) -> DeviceSeeds:
+    """Like device_mmp_seed but builds the [reads; revcomp] walkers on
+    device, halving the host upload."""
+    N, L = reads.shape
+    lens = lens.astype(jnp.int32)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lens[:, None] - 1 - j
+    ok = src >= 0
+    rc = jnp.where(
+        ok,
+        3 - jnp.take_along_axis(reads.astype(jnp.int32), jnp.clip(src, 0, L - 1), axis=1),
+        0,
+    ).astype(jnp.uint8)
+    walkers = jnp.concatenate([reads, rc], axis=0)
+    wlens = jnp.concatenate([lens, lens])
+    return device_mmp_seed(dfm, walkers, wlens, params, max_seeds, max_steps)
 
 
 @functools.partial(
@@ -339,12 +367,13 @@ def device_mmp_seed(
     # walkers that ran out of the loop with a live seed
     live = final.active & (final.seed_len > 0) & (final.i >= lens)
     final = emit(final, live, at_end=True)
+    # compact dtypes before the host pull (offsets/lengths/counts < 256)
     return DeviceSeeds(
-        offset=final.out_off,
-        length=final.out_len,
+        offset=final.out_off.astype(jnp.uint8),
+        length=final.out_len.astype(jnp.uint8),
         sa_lo=final.out_lo,
-        sa_count=final.out_cnt,
-        n_seeds=final.n_seeds,
+        sa_count=final.out_cnt.astype(jnp.uint8),
+        n_seeds=final.n_seeds.astype(jnp.uint8),
     )
 
 
