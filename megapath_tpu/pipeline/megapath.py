@@ -108,18 +108,36 @@ class MegaPathPipeline:
 
     # ------------------------------------------------------------------
     def run_files(self, r1_path, r2_path, out_prefix: str) -> PipelineResult:
-        recs1 = list(read_fastx(r1_path))
-        recs2 = list(read_fastx(r2_path))
-        for r in recs1 + recs2:
-            r.name = trim_readno(r.name)
-        result = self.run_records(recs1, recs2)
-        with open(out_prefix + ".nt.report", "w") as f:
-            f.write(result.report)
-        with open(out_prefix + ".nt.ra.report", "w") as f:
-            f.write(result.ra_report)
-        with open(out_prefix + ".nt.lsam.id", "w") as f:
-            for rec in result.lsam_id:
-                f.write(rec.to_line() + "\n")
+        """File driver with stage-level resume markers: a
+        ``<prefix>.done`` skips completed work on rerun, like the
+        reference's .done gates (runMegaPath.sh:109-110)."""
+        from megapath_tpu.utils.timing import StageTimer
+
+        done = out_prefix + ".done"
+        if os.path.exists(done):
+            import sys
+
+            print(f"Skipping: {done} exists", file=sys.stderr)
+            return PipelineResult("", "", [], [])
+
+        timer = StageTimer()
+        with timer.stage("read-input"):
+            recs1 = list(read_fastx(r1_path))
+            recs2 = list(read_fastx(r2_path))
+            for r in recs1 + recs2:
+                r.name = trim_readno(r.name)
+        with timer.stage("pipeline"):
+            result = self.run_records(recs1, recs2)
+        with timer.stage("write-output"):
+            with open(out_prefix + ".nt.report", "w") as f:
+                f.write(result.report)
+            with open(out_prefix + ".nt.ra.report", "w") as f:
+                f.write(result.ra_report)
+            with open(out_prefix + ".nt.lsam.id", "w") as f:
+                for rec in result.lsam_id:
+                    f.write(rec.to_line() + "\n")
+        with open(done, "w") as f:
+            f.write("ok\n")
         return result
 
     # ------------------------------------------------------------------

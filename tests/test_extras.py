@@ -101,3 +101,36 @@ def test_cli_report(tmp_path, fixtures_dir, capsys):
     out = capsys.readouterr().out
     golden = (fixtures_dir / "golden.report").read_text()
     assert out == golden
+
+
+def test_sam2cfq_scores_and_hits():
+    from megapath_tpu.io.sam2cfq import sam_to_cfq, score_from_cigar_nm
+
+    # 100M with NM=2 -> 98 matches*1 + 2 mism*-2 = 94
+    assert score_from_cigar_nm("100M", 2) == 94
+    # 50M2D50M NM=2 (the deletion): gap open -3, extend -1
+    assert score_from_cigar_nm("50M2D50M", 2) == 100 - 3 - 1
+    lines = [
+        "@SQ\tSN:x\tLN:1",
+        "r1\t0\tNC_1.1\t10\t60\t100M\t*\t0\t0\t" + "A" * 100 + "\t" + "I" * 100 + "\tNM:i:0\tAS:i:100",
+        "r2\t4\t*\t0\t0\t*\t*\t0\t0\tAAAA\tIIII",
+        "r3\t16\tkraken:taxid|562|seq\t5\t60\t4M\t*\t0\t0\tACGT\tIIII\tNM:i:0",
+    ]
+    recs = list(sam_to_cfq(lines))
+    assert recs[0].comment == "SCORE:100;100,NC_1.1;"
+    assert recs[1].comment == "SCORE:0;"
+    assert recs[2].comment == "SCORE:4;4,562;"
+    assert recs[2].seq == "ACGT"[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def test_stage_timer():
+    import io as _io
+
+    from megapath_tpu.utils.timing import StageTimer
+
+    buf = _io.StringIO()
+    t = StageTimer(out=buf)
+    with t.stage("x"):
+        pass
+    assert "TIMER" in buf.getvalue()
+    assert "x" in t.summary()
