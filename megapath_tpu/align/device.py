@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from megapath_tpu.ops.dp import DPParams, sw_align
+from megapath_tpu.ops.dp import DPParams, sw_align_auto
 
 OFF_TEXT_CODE = 4
 
@@ -53,7 +53,7 @@ def align_step(
     """Gather + DP + threshold as one compiled program."""
     wins = gather_windows(ref_codes, win_starts, width)
     wlens = jnp.full(reads.shape[0], width, dtype=jnp.int32)
-    res = sw_align(reads, wins, read_lens, wlens, params=params)
+    res = sw_align_auto(reads, wins, read_lens, wlens, params=params)
     thr = jnp.maximum(
         (cutoff_ratio * read_lens).astype(jnp.int32), jnp.int32(cutoff_lb)
     )
@@ -91,7 +91,7 @@ def align_with_starts(
     C, L = reads.shape
     wins = gather_windows(ref_codes, win_starts, width)
     wlens = jnp.full(C, width, dtype=jnp.int32)
-    fwd = sw_align(reads, wins, read_lens, wlens, params=params)
+    fwd = sw_align_auto(reads, wins, read_lens, wlens, params=params)
 
     # reversed prefixes: read[:end_read][::-1], window[:end_ref][::-1]
     jj = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -108,7 +108,7 @@ def align_with_starts(
         jnp.take_along_axis(wins, jnp.clip(wsrc, 0, width - 1), axis=1),
         OFF_TEXT_CODE,
     ).astype(jnp.uint8)
-    rev = sw_align(rev_reads, rev_wins, fwd.end_read, fwd.end_ref, params=params)
+    rev = sw_align_auto(rev_reads, rev_wins, fwd.end_read, fwd.end_ref, params=params)
     return FullAlignOut(
         score=fwd.score,
         start_ref=fwd.end_ref - rev.end_ref,

@@ -212,15 +212,22 @@ class AlignEngine:
         from megapath_tpu.align.seeding_jax import device_mmp_seed_pairs
         from megapath_tpu.align.seeding import Seeds
 
-        N = reads.shape[0]
-        Nb = _bucket(N)
+        N, L = reads.shape
+        # finer padding than the DP buckets: the seeding loop's cost is
+        # proportional to walker count, so a 4096-grain pad beats the
+        # power-of-two bucket (40k -> 41k instead of 65k rows)
+        Nb = max(_round_up(N, 4096), 4096)
         if Nb != N:
             reads = np.concatenate(
                 [reads, np.zeros((Nb - N, reads.shape[1]), reads.dtype)]
             )
             lens = np.concatenate([lens, np.zeros(Nb - N, lens.dtype)])
+        # each emitted seed advances the cursor >= seed_min_length - 1
+        # chars, so L/16+2 slots bound the per-walker seed count
+        max_seeds = int(min(16, max(4, L // 16 + 2)))
         out = device_mmp_seed_pairs(
-            self.dfm, reads, lens.astype(np.int32), self.params.mmp
+            self.dfm, reads, lens.astype(np.int32), self.params.mmp,
+            max_seeds=max_seeds,
         )
         # walker w of the un-padded batch: fwd rows [0,N), rc rows
         # [Nb, Nb+N) map back to [N, 2N)

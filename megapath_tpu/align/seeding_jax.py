@@ -100,6 +100,13 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     lowers multi-index fancy gathers to scalar loops, so the words are
     fetched as whole (wpb,)-rows and the flat occ table is indexed with
     one computed offset per query.
+
+    The in-block count is SWAR popcount on the packed 2-bit words
+    (the 2bwt-lib BWTOccValue trick, done on the VPU): matching slots
+    of ``w XOR (c repeated)`` have both bits clear, so
+    ``~x & (~x >> 1) & 0x5555...`` marks them and one population_count
+    per word replaces decoding OCC_BLOCK chars to int32 lanes — ~16x
+    less VPU work on the seeding hot loop.
     """
     n_blocks = dfm.occ.shape[0] - 1
     block = idx // OCC_BLOCK
@@ -109,12 +116,20 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     w = jnp.take(
         dfm.words2d, jnp.minimum(block, n_blocks - 1), axis=0
     )  # (B, wpb) uint32
-    shifts = (2 * jnp.arange(WORD_CHARS, dtype=jnp.uint32))[None, None, :]
-    chars = ((w[:, :, None] >> shifts) & jnp.uint32(3)).astype(jnp.int32)
-    chars = chars.reshape(idx.shape[0], OCC_BLOCK)
-    pos = jnp.arange(OCC_BLOCK, dtype=jnp.int32)[None, :]
-    inblk = ((chars == c[:, None]) & (pos < rel[:, None])).sum(axis=1)
-    return base + inblk.astype(jnp.int32)
+    pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[:, None]
+    x = ~(w ^ pat)
+    m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+    wpb = OCC_BLOCK // WORD_CHARS
+    char_base = (jnp.arange(wpb, dtype=jnp.int32) * WORD_CHARS)[None, :]
+    k = jnp.clip(rel[:, None] - char_base, 0, WORD_CHARS)  # chars to keep
+    kk = jnp.minimum(k, WORD_CHARS - 1).astype(jnp.uint32)
+    mask = jnp.where(
+        k >= WORD_CHARS,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (jnp.uint32(2) * kk)) - jnp.uint32(1),
+    )
+    cnt = jax.lax.population_count(m & mask).astype(jnp.int32).sum(axis=1)
+    return base + cnt
 
 
 def _occ_full(dfm: DeviceFM, row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -192,7 +207,6 @@ def device_mmp_seed(
     else:
         km = jnp.zeros((Wn, L), dtype=jnp.int32)
 
-    rows = jnp.arange(Wn, dtype=jnp.int32)
 
     class S(NamedTuple):
         i: jnp.ndarray
@@ -203,10 +217,8 @@ def device_mmp_seed(
         last_hi: jnp.ndarray
         last_len: jnp.ndarray
         active: jnp.ndarray
-        out_off: jnp.ndarray
-        out_len: jnp.ndarray
+        out_meta: jnp.ndarray  # (off << 20) | (len << 10) | cnt
         out_lo: jnp.ndarray
-        out_cnt: jnp.ndarray
         n_seeds: jnp.ndarray
         step: jnp.ndarray
 
@@ -219,10 +231,8 @@ def device_mmp_seed(
         last_hi=jnp.full(Wn, n_rows, jnp.int32),
         last_len=jnp.zeros(Wn, jnp.int32),
         active=lens >= params.seed_min_length,
-        out_off=jnp.zeros((Wn, max_seeds), jnp.int32),
-        out_len=jnp.zeros((Wn, max_seeds), jnp.int32),
+        out_meta=jnp.zeros((Wn, max_seeds), jnp.int32),
         out_lo=jnp.zeros((Wn, max_seeds), jnp.int32),
-        out_cnt=jnp.zeros((Wn, max_seeds), jnp.int32),
         n_seeds=jnp.zeros(Wn, jnp.int32),
         step=jnp.int32(0),
     )
@@ -251,19 +261,23 @@ def device_mmp_seed(
         sl = jnp.where(rb, s.last_len, sl)
 
         keep = idx_mask & (sl >= min_len)
-        slot = jnp.minimum(s.n_seeds, max_seeds - 1)
         off_val = lens - s.i
         cnt_val = jnp.minimum(hi - lo, params.sa_size_threshold + 1)
         room = keep & (s.n_seeds < max_seeds)
 
-        def scat(buf, val):
-            cur = buf[rows, slot]
-            return buf.at[rows, slot].set(jnp.where(room, val, cur))
+        # one-hot select instead of scatter: TPU scatters serialize;
+        # this is pure VPU elementwise work over the (W, max_seeds) bufs.
+        # (off, len, cnt) pack into one int32 (10 bits each, L <= 1023)
+        # to halve the carried-buffer HBM traffic per loop iteration.
+        slot_cols = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+        sel = room[:, None] & (slot_cols == s.n_seeds[:, None])
+        meta_val = (off_val << 20) | (sl << 10) | cnt_val
 
-        out_off = scat(s.out_off, off_val)
-        out_len = scat(s.out_len, sl)
+        def scat(buf, val):
+            return jnp.where(sel, val[:, None], buf)
+
+        out_meta = scat(s.out_meta, meta_val)
         out_lo = scat(s.out_lo, lo)
-        out_cnt = scat(s.out_cnt, cnt_val)
         n_seeds = s.n_seeds + room.astype(jnp.int32)
 
         if at_end:
@@ -281,10 +295,8 @@ def device_mmp_seed(
             last_lo=jnp.where(reset, 0, s.last_lo),
             last_hi=jnp.where(reset, n_rows, s.last_hi),
             last_len=jnp.where(reset, 0, s.last_len),
-            out_off=out_off,
-            out_len=out_len,
+            out_meta=out_meta,
             out_lo=out_lo,
-            out_cnt=out_cnt,
             n_seeds=n_seeds,
         )
 
@@ -304,14 +316,24 @@ def device_mmp_seed(
         active = active & ~done
         ext = ext & ~done
 
-        # character / LUT step (compute for every walker; mask later)
+        # character / LUT step (compute for every walker; mask later).
+        # Per-row column picks use one-hot reductions: a 2D fancy
+        # gather lowers to a scalar loop on TPU, a masked row reduce
+        # stays on the VPU.
+        col_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+        def pick(tab2d, j_of_row):
+            return jnp.sum(
+                jnp.where(col_l == j_of_row[:, None], tab2d, 0), axis=1
+            )
+
         if k:
             j0 = jnp.clip(lens - s2.i - k, 0, L - 1)
-            v = km[rows, j0]
+            v = pick(km, j0)
             lut_lo = dfm.lut_lo[v]
             lut_hi = dfm.lut_hi[v]
         jj = jnp.clip(lens - 1 - s2.i, 0, L - 1)
-        c = walkers_i[rows, jj]
+        c = pick(walkers_i, jj)
         b_lo, b_hi = extend_backward(
             dfm, s2.lo, s2.hi, jnp.where(ext, c, 0)
         )
@@ -367,12 +389,14 @@ def device_mmp_seed(
     # walkers that ran out of the loop with a live seed
     live = final.active & (final.seed_len > 0) & (final.i >= lens)
     final = emit(final, live, at_end=True)
-    # compact dtypes before the host pull (offsets/lengths/counts < 256)
+    # compact dtypes before the host pull
+    small = jnp.uint8 if L < 256 else jnp.int16
+    csmall = jnp.uint8 if params.sa_size_threshold + 1 < 256 else jnp.int16
     return DeviceSeeds(
-        offset=final.out_off.astype(jnp.uint8),
-        length=final.out_len.astype(jnp.uint8),
+        offset=(final.out_meta >> 20).astype(small),
+        length=((final.out_meta >> 10) & 1023).astype(small),
         sa_lo=final.out_lo,
-        sa_count=final.out_cnt.astype(jnp.uint8),
+        sa_count=(final.out_meta & 1023).astype(csmall),
         n_seeds=final.n_seeds.astype(jnp.uint8),
     )
 

@@ -78,6 +78,47 @@ def r2c_to_r2g(
         )
 
 
+def extract_from_lsam(
+    records: Iterable[LsamRecord],
+    threshold: float,
+    viral: bool = False,
+    se_mode: bool = False,
+    append_ignore: bool = False,
+    skip_ignore_tag: bool = False,
+) -> Iterator[Tuple[LsamRecord, int, str]]:
+    """Select reads from consecutive-pair LSAM, per extractFromLSAM.pl.
+
+    Yields (record, mate 1|2, comment) for each read to keep: the pair
+    is selected when either end scores below the cutoff (fractional
+    thresholds scale by the pair length, extractFromLSAM.pl:67) or
+    ``viral`` and an end carries the Viruses superkingdom column; in
+    ``se_mode`` each selected end must itself be under the cutoff (or
+    viral). ``append_ignore`` marks over-cutoff mates with an IGNORE
+    comment; ``skip_ignore_tag`` drops ends already tagged IGNORE.
+    """
+    it = iter(records)
+    for r1 in it:
+        r2 = next(it, None)
+        if r2 is None:
+            break
+        cut = (
+            threshold * (len(r1.seq) + len(r2.seq))
+            if threshold < 1
+            else threshold
+        )
+        v1 = "Viruses" in r1.opts
+        v2 = "Viruses" in r2.opts
+        if not (r1.score < cut or r2.score < cut or (viral and (v1 or v2))):
+            continue
+        for rec, which, v in ((r1, 1, v1), (r2, 2, v2)):
+            if skip_ignore_tag and "IGNORE" in rec.opts:
+                continue
+            if se_mode and not (rec.score < cut or v):
+                continue
+            comment = "IGNORE" if append_ignore and rec.score >= cut else ""
+            yield rec, which, comment
+
+
 def cleanup_contaminants(
     records: List[LsamRecord],
     contaminant_tids: Set[int] = frozenset({9606, 32630}),

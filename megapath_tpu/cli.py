@@ -1,11 +1,16 @@
 """Command-line interface (runMegaPath.sh equivalent driver).
 
-Subcommands:
+Pipeline subcommands:
   build-index   FASTA -> packed shards + FM indexes (2bwt-builder +
                 splitFasta replacement)
   run           full pathogen-detection pipeline
   report        LSAM.id -> Kraken-style report (genKrakenReport)
-  bench         alignment throughput benchmark
+
+Stream-tool subcommands, mirroring the reference's one-tool-per-
+transform LSAM toolchain (/root/reference/cc/Makefile targets and the
+Perl glue): fastq2lsam, taxlookup, reassign, deinterleave, sam2cfq,
+extract, genomecov-filter, lsam-read-filter, m8-to-lsam, r2c-to-r2g,
+cleanup, bbduk.
 """
 
 from __future__ import annotations
@@ -90,6 +95,213 @@ def _cmd_report(args) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# stream tools (cc/ toolchain + Perl glue equivalents)
+# ---------------------------------------------------------------------------
+
+
+def _in(path):
+    from megapath_tpu.io.fastq import open_maybe_gz
+
+    return open_maybe_gz(path or "-", "rt")
+
+
+def _write_fastq(rec, out, suffix: str = "", comment: str = "") -> None:
+    head = rec.name + suffix + ((" " + comment) if comment else "")
+    out.write(f"@{head}\n{rec.seq}\n+\n{rec.qual}\n")
+
+
+def _cmd_fastq2lsam(args) -> int:
+    from megapath_tpu.io.fastq import read_fastx
+    from megapath_tpu.io.lsam import fastq_to_lsam
+
+    fastq_to_lsam(
+        read_fastx(_in(args.cfq)), sys.stdout, output_seq=not args.no_seq
+    )
+    return 0
+
+
+def _cmd_taxlookup(args) -> int:
+    from megapath_tpu.classify.taxlookup import tax_lookup_acc
+    from megapath_tpu.taxonomy import TaxDB
+
+    db = TaxDB()
+    db.read_nodes(args.nodes)
+    db.read_names(args.names)
+    db.read_acc2tid(args.acc2tid)
+    for line in tax_lookup_acc(db, _in(args.lsam)):
+        sys.stdout.write(line + "\n")
+    return 0
+
+
+def _cmd_reassign(args) -> int:
+    from megapath_tpu.classify.reassign import reassign_lines
+
+    lines = [l.rstrip("\n") for l in _in(args.lsam_id)]
+    for line in reassign_lines(
+        lines, u=args.u, v=args.v, t=args.threshold, output_seq=args.print_seq
+    ):
+        sys.stdout.write(line + "\n")
+    return 0
+
+
+def _cmd_deinterleave(args) -> int:
+    from megapath_tpu.io.fastq import read_fastx
+    from megapath_tpu.io.lsam import deinterleave
+
+    p1, p2, se = deinterleave(read_fastx(_in(args.cfq)), args.prefix)
+    print(f"{p1}\n{p2}\n{se}", file=sys.stderr)
+    return 0
+
+
+def _cmd_sam2cfq(args) -> int:
+    from megapath_tpu.io.sam2cfq import sam_to_cfq
+
+    for rec in sam_to_cfq(_in(args.sam), dropout=args.dropout):
+        _write_fastq(rec, sys.stdout, comment=rec.comment)
+    return 0
+
+
+def _cmd_extract(args) -> int:
+    from megapath_tpu.classify.extras import extract_from_lsam
+    from megapath_tpu.io.lsam import parse_lsam_line
+
+    recs = (
+        parse_lsam_line(l) for l in _in(args.lsam_id) if l.strip()
+    )
+    for rec, which, comment in extract_from_lsam(
+        recs,
+        threshold=args.threshold,
+        viral=args.viral,
+        se_mode=args.se,
+        append_ignore=args.append_ignore,
+        skip_ignore_tag=args.skip_ignore,
+    ):
+        if args.names_only:
+            sys.stdout.write(rec.name + "\n")
+        else:
+            _write_fastq(rec, sys.stdout, suffix=f"/{which}", comment=comment)
+    return 0
+
+
+def _cmd_genomecov_filter(args) -> int:
+    """SPIKE step 1 (cc/genomeCovFilter.cpp): flag depth outliers.
+
+    Inputs are the reference's own formats: a ``.genome`` file
+    (``name\\tlength``) and a ``bedtools genomecov -bga`` bed stream.
+    """
+    import numpy as np
+
+    from megapath_tpu.filters.spike import CoverageRuns, spike_regions
+
+    names: list = []
+    with open(args.genome) as f:
+        for line in f:
+            if line.strip():
+                names.append(line.split("\t")[0])
+    idx = {n: i for i, n in enumerate(names)}
+    seq, start, stop, depth = [], [], [], []
+    for line in _in(args.genomecov):
+        cols = line.split("\t")
+        if len(cols) < 4 or cols[0] not in idx:
+            continue
+        seq.append(idx[cols[0]])
+        start.append(int(cols[1]))
+        stop.append(int(cols[2]))
+        depth.append(int(cols[3]))
+    runs = CoverageRuns(
+        np.asarray(seq, np.int32),
+        np.asarray(start, np.int64),
+        np.asarray(stop, np.int64),
+        np.asarray(depth, np.int64),
+    )
+    s, b, e = spike_regions(runs, len(names), max_depth_stdev=args.stdev)
+    for i in range(len(s)):
+        sys.stdout.write(f"{names[s[i]]}\t{b[i]}\t{e[i]}\n")
+    return 0
+
+
+def _cmd_lsam_read_filter(args) -> int:
+    from megapath_tpu.io.lsam import lsam_read_filter
+
+    with open(args.filter_list) as f:
+        ids = [l.strip() for l in f if l.strip()]
+    for line in lsam_read_filter(ids, _in(args.lsam)):
+        sys.stdout.write(line if line.endswith("\n") else line + "\n")
+    return 0
+
+
+def _cmd_m8_to_lsam(args) -> int:
+    from megapath_tpu.classify.extras import m8_to_lsam
+
+    for rec in m8_to_lsam(_in(args.m8)):
+        sys.stdout.write(rec.to_line() + "\n")
+    return 0
+
+
+def _cmd_r2c_to_r2g(args) -> int:
+    from megapath_tpu.classify.extras import r2c_to_r2g
+    from megapath_tpu.io.lsam import read_lsam
+
+    for rec in r2c_to_r2g(read_lsam(args.r2c), read_lsam(args.c2g)):
+        sys.stdout.write(rec.to_line() + "\n")
+    return 0
+
+
+def _cmd_cleanup(args) -> int:
+    from megapath_tpu.classify.extras import cleanup_contaminants
+    from megapath_tpu.io.lsam import parse_lsam_line
+
+    recs = [parse_lsam_line(l) for l in _in(args.lsam_id) if l.strip()]
+    out, removed = cleanup_contaminants(
+        recs,
+        contaminant_tids=set(args.taxid),
+        score_tolerance=args.tolerance,
+        fraction=args.fraction,
+    )
+    for rec in out:
+        sys.stdout.write(rec.to_line() + "\n")
+    print(f"removed species: {sorted(removed)}", file=sys.stderr)
+    return 0
+
+
+def _cmd_bbduk(args) -> int:
+    from megapath_tpu.filters.bbduk import (
+        bbduk_pair,
+        build_kmer_ref,
+        load_adapters,
+    )
+    from megapath_tpu.io.fastq import read_fastx
+
+    recs1 = list(read_fastx(_in(args.r1)))
+    recs2 = list(read_fastx(_in(args.r2)))
+    ref = build_kmer_ref(load_adapters(args.ref)) if args.ref else None
+    res = bbduk_pair(
+        recs1,
+        recs2,
+        ref,
+        min_len=args.minlength,
+        trimq=args.trimq,
+        entropy_cutoff=args.entropy,
+    )
+    with open(args.out1, "w") as f:
+        for r in res.kept1:
+            _write_fastq(r, f)
+    with open(args.out2, "w") as f:
+        for r in res.kept2:
+            _write_fastq(r, f)
+    if args.outm:
+        with open(args.outm, "w") as f:
+            for r in res.low_complexity:
+                _write_fastq(r, f)
+    print(
+        f"kept {len(res.kept1)} pairs, low-complexity "
+        f"{len(res.low_complexity)}, short-removed {res.removed_short}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="megapath-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -127,6 +339,85 @@ def main(argv=None) -> int:
     p.add_argument("lsam_id")
     p.add_argument("--threshold", type=int, default=40)
     p.set_defaults(fn=_cmd_report)
+
+    s = sub.add_parser("fastq2lsam", help="cfq stream -> LSAM")
+    s.add_argument("cfq", nargs="?", default="-")
+    s.add_argument("--no-seq", action="store_true")
+    s.set_defaults(fn=_cmd_fastq2lsam)
+
+    s = sub.add_parser("taxlookup", help="LSAM -> LSAM.id (taxLookupAcc)")
+    s.add_argument("acc2tid")
+    s.add_argument("nodes")
+    s.add_argument("names")
+    s.add_argument("lsam", nargs="?", default="-")
+    s.set_defaults(fn=_cmd_taxlookup)
+
+    s = sub.add_parser("reassign", help="A-explains-B read reassignment")
+    s.add_argument("lsam_id", nargs="?", default="-")
+    s.add_argument("-t", dest="threshold", type=float, default=40.0)
+    s.add_argument("-u", type=float, default=20.0)
+    s.add_argument("-v", type=float, default=0.05)
+    s.add_argument("-p", dest="print_seq", action="store_true")
+    s.set_defaults(fn=_cmd_reassign)
+
+    s = sub.add_parser("deinterleave", help="cfq -> pe_1/pe_2/se fastq")
+    s.add_argument("prefix")
+    s.add_argument("cfq", nargs="?", default="-")
+    s.set_defaults(fn=_cmd_deinterleave)
+
+    s = sub.add_parser("sam2cfq", help="SAM -> cfq (BWA bridge)")
+    s.add_argument("sam", nargs="?", default="-")
+    s.add_argument("-d", dest="dropout", type=float, default=0.95)
+    s.set_defaults(fn=_cmd_sam2cfq)
+
+    s = sub.add_parser("extract", help="extractFromLSAM: unmapped/viral reads")
+    s.add_argument("lsam_id", nargs="?", default="-")
+    s.add_argument("-t", dest="threshold", type=float, required=True)
+    s.add_argument("-v", dest="viral", action="store_true")
+    s.add_argument("-s", dest="se", action="store_true")
+    s.add_argument("-i", dest="append_ignore", action="store_true")
+    s.add_argument("-g", dest="skip_ignore", action="store_true")
+    s.add_argument("-n", dest="names_only", action="store_true")
+    s.set_defaults(fn=_cmd_extract)
+
+    s = sub.add_parser("genomecov-filter", help="SPIKE depth-outlier regions")
+    s.add_argument("genome")
+    s.add_argument("genomecov", nargs="?", default="-")
+    s.add_argument("stdev", nargs="?", type=int, default=60)
+    s.set_defaults(fn=_cmd_genomecov_filter)
+
+    s = sub.add_parser("lsam-read-filter", help="drop listed reads from LSAM")
+    s.add_argument("filter_list")
+    s.add_argument("lsam", nargs="?", default="-")
+    s.set_defaults(fn=_cmd_lsam_read_filter)
+
+    s = sub.add_parser("m8-to-lsam", help="DIAMOND m8 -> LSAM")
+    s.add_argument("m8", nargs="?", default="-")
+    s.set_defaults(fn=_cmd_m8_to_lsam)
+
+    s = sub.add_parser("r2c-to-r2g", help="read->contig x contig->genome join")
+    s.add_argument("r2c")
+    s.add_argument("c2g")
+    s.set_defaults(fn=_cmd_r2c_to_r2g)
+
+    s = sub.add_parser("cleanup", help="contaminant homolog species removal")
+    s.add_argument("lsam_id", nargs="?", default="-")
+    s.add_argument("--taxid", type=int, nargs="+", default=[9606, 32630])
+    s.add_argument("--tolerance", type=float, default=10.0)
+    s.add_argument("--fraction", type=float, default=0.5)
+    s.set_defaults(fn=_cmd_cleanup)
+
+    s = sub.add_parser("bbduk", help="k-mer/quality/entropy preprocessing")
+    s.add_argument("--in1", dest="r1", required=True)
+    s.add_argument("--in2", dest="r2", required=True)
+    s.add_argument("--out1", required=True)
+    s.add_argument("--out2", required=True)
+    s.add_argument("--outm", default=None)
+    s.add_argument("--ref", default=None)
+    s.add_argument("--minlength", type=int, default=50)
+    s.add_argument("--trimq", type=int, default=10)
+    s.add_argument("--entropy", type=float, default=0.75)
+    s.set_defaults(fn=_cmd_bbduk)
 
     args = ap.parse_args(argv)
     return args.fn(args)

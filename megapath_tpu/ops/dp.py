@@ -110,6 +110,36 @@ def sw_align(
     return DPResult(score=best, end_ref=best_i, end_read=best_j)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def sw_align_auto(
+    reads: jnp.ndarray,
+    refs: jnp.ndarray,
+    read_lens: jnp.ndarray,
+    ref_lens: jnp.ndarray,
+    params: DPParams = DPParams(),
+) -> DPResult:
+    """Backend dispatch: the Pallas VMEM-resident kernel on TPU (keeps
+    the H/F carries on-chip across the whole read scan instead of
+    ping-ponging ~B*W*8 bytes through HBM per read column), the XLA
+    scan elsewhere (CPU test mesh)."""
+    if _on_tpu():
+        from megapath_tpu.ops.dp_pallas import sw_align_pallas
+
+        B = reads.shape[0]
+        block = 256 if B % 256 == 0 else (8 if B % 8 == 0 else 0)
+        if block:
+            return sw_align_pallas(
+                reads, refs, read_lens, ref_lens, params=params, block_b=block
+            )
+    return sw_align(reads, refs, read_lens, ref_lens, params=params)
+
+
 # ---------------------------------------------------------------------------
 # Oracle + traceback (host-side, for tests and CIGAR of reported hits)
 # ---------------------------------------------------------------------------

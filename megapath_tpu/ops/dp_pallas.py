@@ -57,9 +57,20 @@ def _dp_kernel(
     endj_ref[:, :] = jnp.zeros((BT, 1), jnp.int32)
 
     n_shift = (W - 1).bit_length()
+    # packed-key max: Mosaic has no integer argmax, so fold the column
+    # index into the value (first-max-wins tie order = highest reversed
+    # index) and recover both from one max reduction
+    K = 1 << n_shift
+
+    reads = reads_ref[:, :]  # (BT, R)
+    read_col_ids = jax.lax.broadcasted_iota(jnp.int32, (BT, R), dimension=1)
 
     def step(j, _):
-        read_c = reads_ref[:, pl.ds(j, 1)]  # (BT, 1)
+        # Mosaic forbids dynamic lane slices, so the per-step read
+        # column comes from a one-hot masked reduction over the slab
+        read_c = jnp.max(
+            jnp.where(read_col_ids == j, reads, -1), axis=1, keepdims=True
+        )  # (BT, 1)
         sub = jnp.where(refs == read_c, match, mismatch)
 
         h_prev = H[:, :]
@@ -81,8 +92,10 @@ def _dp_kernel(
 
         col_ok = (j < lens)  # (BT, 1)
         hv = jnp.where(row_valid & col_ok, h_new, 0)
-        col_best = jnp.max(hv, axis=1, keepdims=True)  # (BT, 1)
-        col_arg = jnp.argmax(hv, axis=1).reshape(BT, 1).astype(jnp.int32)
+        key = hv * K + (K - 1 - col_ids)
+        kbest = jnp.max(key, axis=1, keepdims=True)  # (BT, 1)
+        col_best = kbest // K
+        col_arg = (K - 1) - (kbest % K)
         better = col_best > score_ref[:, :]
         score_ref[:, :] = jnp.where(better, col_best, score_ref[:, :])
         endi_ref[:, :] = jnp.where(better, col_arg + 1, endi_ref[:, :])

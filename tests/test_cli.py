@@ -1,0 +1,128 @@
+"""CLI stream-tool subcommands (the cc/ toolchain surface).
+
+Each reference tool is a separate binary on a pipe
+(/root/reference/cc/Makefile); here they are subcommands of one
+console script. These tests drive main() directly with tmp files.
+"""
+
+import io
+import sys
+
+import pytest
+
+from megapath_tpu.cli import main
+
+
+def run_cli(argv, stdin_text=None, capsys=None, monkeypatch=None):
+    if stdin_text is not None:
+        monkeypatch.setattr(sys, "stdin", io.StringIO(stdin_text))
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_fastq2lsam(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.cfq"
+    p.write_text(
+        "@r1\tSCORE:50;50,acc1\nACGT\n+\nIIII\n"
+        "@r1\tSCORE:45;45,acc1\nTTAA\n+\nIIII\n"
+    )
+    rc, out = run_cli(["fastq2lsam", str(p)], capsys=capsys)
+    assert rc == 0
+    lines = out.strip().split("\n")
+    assert lines[0] == "r1\t64\t50\tACGT\tIIII\t50,acc1"
+    assert lines[1].startswith("r1\t128\t45")
+
+
+def test_extract_pairs(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.lsam"
+    p.write_text(
+        "r1\t64\t50\tACGT\tIIII\t50,acc1\n"
+        "r1\t128\t10\tTTAA\tIIII\t*\n"
+        "r2\t64\t90\tACGT\tIIII\t90,acc1\n"
+        "r2\t128\t95\tTTAA\tIIII\t95,acc1\n"
+    )
+    rc, out = run_cli(["extract", "-t", "40", str(p)], capsys=capsys)
+    assert rc == 0
+    # r1 selected (end 2 under cutoff), r2 fully mapped -> dropped
+    assert "@r1/1" in out and "@r1/2" in out and "r2" not in out
+
+
+def test_extract_fractional_threshold(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.lsam"
+    # pair len 8 -> cut = 0.9*8 = 7.2; scores 7 < 7.2 selects
+    p.write_text(
+        "r1\t64\t7\tACGT\tIIII\t7,acc1\nr1\t128\t9\tTTAA\tIIII\t9,acc1\n"
+    )
+    rc, out = run_cli(["extract", "-t", "0.9", str(p)], capsys=capsys)
+    assert "@r1/1" in out
+
+
+def test_m8_to_lsam(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.m8"
+    p.write_text(
+        "q1\ts1\x01s2\t99\t100\t0\t0\t1\t100\t5\t105\t1e-30\t200\n"
+    )
+    rc, out = run_cli(["m8-to-lsam", str(p)], capsys=capsys)
+    assert out.strip() == "q1\t0\t200\t*\t*\t200,s1;200,s2"
+
+
+def test_genomecov_filter(tmp_path, capsys, monkeypatch):
+    g = tmp_path / "g.genome"
+    g.write_text("chr1\t100\n")
+    c = tmp_path / "cov.bed"
+    c.write_text("chr1\t0\t50\t2\nchr1\t50\t60\t500\nchr1\t60\t100\t2\n")
+    rc, out = run_cli(
+        ["genomecov-filter", str(g), str(c), "2"], capsys=capsys
+    )
+    assert out.strip() == "chr1\t50\t60"
+
+
+def test_lsam_read_filter(tmp_path, capsys, monkeypatch):
+    ban = tmp_path / "ban.txt"
+    ban.write_text("r1\n")
+    p = tmp_path / "a.lsam"
+    p.write_text("r1\t64\t50\t*\t*\t*\nr2\t64\t50\t*\t*\t*\n")
+    rc, out = run_cli(["lsam-read-filter", str(ban), str(p)], capsys=capsys)
+    assert out.strip() == "r2\t64\t50\t*\t*\t*"
+
+
+def test_r2c_to_r2g(tmp_path, capsys, monkeypatch):
+    r2c = tmp_path / "r2c.lsam"
+    r2c.write_text("read1\t64\t30\t*\t*\t30,ctg1\n")
+    c2g = tmp_path / "c2g.lsam"
+    c2g.write_text("ctg1\t0\t99\t*\t*\t99,9606\n")
+    rc, out = run_cli(["r2c-to-r2g", str(r2c), str(c2g)], capsys=capsys)
+    assert out.strip() == "read1\t64\t30\t*\t*\t30,9606"
+
+
+def test_sam2cfq(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.sam"
+    p.write_text(
+        "@SQ\tSN:chr1\tLN:1000\n"
+        "r9\t0\tchr1\t10\t60\t4M\t*\t0\t0\tACGT\tIIII\tAS:i:4\tNM:i:0\n"
+    )
+    rc, out = run_cli(["sam2cfq", str(p)], capsys=capsys)
+    assert out.startswith("@r9 SCORE:4;4,chr1")
+
+
+def test_deinterleave(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.cfq"
+    p.write_text(
+        "@r1\tc1\nACGT\n+\nIIII\n@r1\tc2\nTTAA\n+\nIIII\n"
+        "@solo\nGGGG\n+\nIIII\n"
+    )
+    rc, _ = run_cli(
+        ["deinterleave", str(tmp_path / "out"), str(p)], capsys=capsys
+    )
+    assert (tmp_path / "out.pe_1.fq").read_text().startswith("@r1/1")
+    assert "@solo" in (tmp_path / "out.se.fq").read_text()
+
+
+def test_reassign_cli(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.lsamid"
+    p.write_text(
+        "r1\t64\t50\t*\t*\t50,101;45,102\nr1\t128\t45\t*\t*\t45,101\n"
+    )
+    rc, out = run_cli(["reassign", str(p)], capsys=capsys)
+    assert rc == 0 and "101" in out
