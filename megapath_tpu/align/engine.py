@@ -92,13 +92,20 @@ def _revcomp_rows(reads: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _bucket(n: int) -> int:
-    """Round batch sizes up to jit-cache-friendly buckets."""
+    """Round batch sizes up to jit-cache-friendly buckets.
+
+    Small batches go to powers of two (few compile-cache entries);
+    large ones pad at 4096 grain — the Pallas DP cost is linear in
+    rows, so a 2^k bucket would waste up to 2x device time for at
+    most ~16 extra cached programs."""
     if n <= 256:
         return 256
-    b = 256
-    while b < n:
-        b *= 2
-    return b
+    if n <= 4096:
+        b = 256
+        while b < n:
+            b *= 2
+        return b
+    return _round_up(n, 4096)
 
 
 def _batched_dp(

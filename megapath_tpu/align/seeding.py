@@ -301,23 +301,28 @@ def decode_seeds(
 
     n = len(order)
     # cluster ids: break on walker change or start > first-of-cluster +
-    # indel_fuzz (anchor-chain; jump loop over clusters, stats
-    # vectorized with reduceat below)
-    bounds: List[int] = []
-    b = 0
+    # indel_fuzz (anchor-chain). Vectorized as pointer jumping over a
+    # composite (walker, start) key: next[i] = first index past the
+    # anchor's fuzz window, then walk the orbit from each walker's
+    # first row — one vectorized round per cluster DEPTH (max seeds per
+    # walker, ~8) instead of one searchsorted per cluster.
     wchange = np.flatnonzero(np.r_[True, walker_s[1:] != walker_s[:-1], True])
-    for wi in range(len(wchange) - 1):
-        lo, hi = int(wchange[wi]), int(wchange[wi + 1])
-        b = lo
-        while b < hi:
-            bounds.append(b)
-            e = int(
-                np.searchsorted(
-                    start_s[b:hi], start_s[b] + params.indel_fuzz, "right"
-                )
-            )
-            b = b + e
-    bounds_arr = np.asarray(bounds, dtype=np.int64)
+    key = (walker_s.astype(np.int64) << 33) | (start_s - start_s.min())
+    nxt = np.searchsorted(
+        key, (walker_s.astype(np.int64) << 33)
+        | (start_s - start_s.min() + params.indel_fuzz),
+        side="right",
+    )
+    seg_end = wchange[
+        np.searchsorted(wchange, np.arange(n, dtype=np.int64), side="right")
+    ]
+    parts: List[np.ndarray] = []
+    active = wchange[:-1].astype(np.int64)
+    while len(active):
+        parts.append(active)
+        active = nxt[active]
+        active = active[active < seg_end[parts[-1]]]
+    bounds_arr = np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
     n_clusters = len(bounds_arr)
     if n_clusters == 0:
         z = np.zeros(0)

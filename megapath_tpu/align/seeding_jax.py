@@ -37,55 +37,61 @@ class DeviceFM:
     compile-time constants.
     """
 
-    def __init__(self, n, primary, bwt_words, occ, counts, lut_lo, lut_hi,
+    def __init__(self, n, primary, bwt_words, block_rows, counts, lut2,
                  lut_k, mark_bits, sa_sampled, sa_interval):
         self.n = n
         self.primary = primary
         self.bwt_words = bwt_words  # uint32 [n_words]
-        self.occ = occ  # uint32 [n_blocks+1, 4]
+        # fused (n_blocks+1, 4+wpb) uint32 rows: occ checkpoint (4
+        # counts) || the block's packed BWT words. One row gather per
+        # rank query instead of two — TPU gathers are the seeding
+        # loop's bottleneck, so halving the gather count matters more
+        # than the duplicated storage.
+        self.block_rows = block_rows
         self.counts = counts  # int32 [5]
-        self.lut_lo = lut_lo  # int32 [4^k] (or [1] when lut_k == 0)
-        self.lut_hi = lut_hi
+        self.lut2 = lut2  # int32 [4^k, 2] fused lo/hi rows ([1,2] if k==0)
         self.lut_k = lut_k
         self.mark_bits = mark_bits  # int32 [n+2] prefix rank of marks
         self.sa_sampled = sa_sampled  # int32 [n_marked]
         self.sa_interval = sa_interval
 
-    @property
-    def words2d(self):
-        """(n_blocks, words_per_block) view for row gathers."""
-        wpb = OCC_BLOCK // WORD_CHARS
-        return self.bwt_words.reshape(-1, wpb)
-
     def tree_flatten(self):
-        leaves = (self.bwt_words, self.occ, self.counts, self.lut_lo,
-                  self.lut_hi, self.mark_bits, self.sa_sampled)
+        leaves = (self.bwt_words, self.block_rows, self.counts, self.lut2,
+                  self.mark_bits, self.sa_sampled)
         aux = (self.n, self.primary, self.lut_k, self.sa_interval)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         n, primary, lut_k, sa_interval = aux
-        bwt_words, occ, counts, lut_lo, lut_hi, mark_bits, sa_sampled = leaves
-        return cls(n, primary, bwt_words, occ, counts, lut_lo, lut_hi,
+        bwt_words, block_rows, counts, lut2, mark_bits, sa_sampled = leaves
+        return cls(n, primary, bwt_words, block_rows, counts, lut2,
                    lut_k, mark_bits, sa_sampled, sa_interval)
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceFM":
         assert fm.n < 2**31, "device seeding path requires shard < 2^31"
         lut_k = fm.lut_k
+        wpb = OCC_BLOCK // WORD_CHARS
+        words2d = fm.bwt_words.reshape(-1, wpb)
+        n_blocks = fm.occ.shape[0] - 1
+        block_rows = np.zeros((n_blocks + 1, 4 + wpb), dtype=np.uint32)
+        block_rows[:, :4] = fm.occ.astype(np.uint32)
+        m = min(n_blocks, words2d.shape[0])
+        block_rows[:m, 4:] = words2d[:m]
+        if lut_k:
+            lut2 = np.stack(
+                [fm.lut_lo.astype(np.int32), fm.lut_hi.astype(np.int32)], axis=1
+            )
+        else:
+            lut2 = np.zeros((1, 2), np.int32)
         return cls(
             n=int(fm.n),
             primary=int(fm.primary),
             bwt_words=jnp.asarray(fm.bwt_words),
-            occ=jnp.asarray(fm.occ.astype(np.uint32)),
+            block_rows=jnp.asarray(block_rows),
             counts=jnp.asarray(fm.counts.astype(np.int32)),
-            lut_lo=jnp.asarray(
-                fm.lut_lo.astype(np.int32) if lut_k else np.zeros(1, np.int32)
-            ),
-            lut_hi=jnp.asarray(
-                fm.lut_hi.astype(np.int32) if lut_k else np.zeros(1, np.int32)
-            ),
+            lut2=jnp.asarray(lut2),
             lut_k=int(lut_k),
             mark_bits=jnp.asarray(fm.mark_rank.astype(np.int32)),
             sa_sampled=jnp.asarray(fm.sa_sampled.astype(np.int32)),
@@ -108,14 +114,14 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     per word replaces decoding OCC_BLOCK chars to int32 lanes — ~16x
     less VPU work on the seeding hot loop.
     """
-    n_blocks = dfm.occ.shape[0] - 1
     block = idx // OCC_BLOCK
-    occ_flat = dfm.occ.reshape(-1)
-    base = jnp.take(occ_flat, block * 4 + c).astype(jnp.int32)
+    rows = jnp.take(dfm.block_rows, block, axis=0)  # (B, 4+wpb) uint32
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+    base = jnp.sum(
+        jnp.where(four == c[:, None], rows[:, :4], jnp.uint32(0)), axis=1
+    ).astype(jnp.int32)
     rel = idx - block * OCC_BLOCK
-    w = jnp.take(
-        dfm.words2d, jnp.minimum(block, n_blocks - 1), axis=0
-    )  # (B, wpb) uint32
+    w = rows[:, 4:]
     pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[:, None]
     x = ~(w ^ pat)
     m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
@@ -137,10 +143,18 @@ def _occ_full(dfm: DeviceFM, row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     return _occ_arr(dfm, adj, c)
 
 
+def _counts_of(dfm: DeviceFM, c: jnp.ndarray) -> jnp.ndarray:
+    """counts[c] as a 4-way select (no gather)."""
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+    return jnp.sum(
+        jnp.where(four == c[:, None], dfm.counts[None, :4], 0), axis=1
+    )
+
+
 def extend_backward(
     dfm: DeviceFM, lo: jnp.ndarray, hi: jnp.ndarray, c: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    C = dfm.counts[c]
+    C = _counts_of(dfm, c)
     return C + _occ_full(dfm, lo, c), C + _occ_full(dfm, hi, c)
 
 
@@ -330,8 +344,9 @@ def device_mmp_seed(
         if k:
             j0 = jnp.clip(lens - s2.i - k, 0, L - 1)
             v = pick(km, j0)
-            lut_lo = dfm.lut_lo[v]
-            lut_hi = dfm.lut_hi[v]
+            lrows = jnp.take(dfm.lut2, v, axis=0)
+            lut_lo = lrows[:, 0]
+            lut_hi = lrows[:, 1]
         jj = jnp.clip(lens - 1 - s2.i, 0, L - 1)
         c = pick(walkers_i, jj)
         b_lo, b_hi = extend_backward(

@@ -302,6 +302,64 @@ def _cmd_bbduk(args) -> int:
     return 0
 
 
+def _cmd_amplicon(args) -> int:
+    from megapath_tpu.filters.bbduk import build_kmer_ref, load_adapters
+    from megapath_tpu.index.fm import FMIndex
+    from megapath_tpu.index.pack import PackedReference
+    from megapath_tpu.pipeline.amplicon import AmpliconConfig, AmpliconPipeline
+
+    def load_pack(prefix):
+        return (
+            PackedReference.load(prefix + ".ref.npz"),
+            FMIndex.load(prefix + ".fm.npz"),
+        )
+
+    pipe = AmpliconPipeline(
+        target=load_pack(args.target_index),
+        decoys=[load_pack(p) for p in (args.decoy_index or [])],
+        taxon_db=load_pack(args.taxon_index) if args.taxon_index else None,
+        adapters=(
+            build_kmer_ref(load_adapters(args.adapters)) if args.adapters else None
+        ),
+        config=AmpliconConfig(final_as=args.final_as, min_depth=args.min_depth),
+    )
+    res = pipe.run_files(args.r1, args.r2, args.prefix)
+    print(
+        f"[amplicon] in={res.n_input} qc={res.n_after_qc} "
+        f"decoy={res.n_after_decoy} taxon={res.n_after_taxon} "
+        f"final={res.n_final} variants={len(res.variants)}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _cmd_count_table(args) -> int:
+    from megapath_tpu.io.lsam import parse_lsam_line
+    from megapath_tpu.taxonomy import TaxDB
+    from megapath_tpu.utils.accuracy import count_table
+
+    db = TaxDB()
+    db.read_nodes(args.nodes)
+    db.read_names(args.names)
+    recs = [parse_lsam_line(l) for l in _in(args.lsam_id) if l.strip()]
+    sys.stdout.write(count_table(db, recs))
+    return 0
+
+
+def _cmd_m8_cov(args) -> int:
+    from megapath_tpu.utils.accuracy import m8_coverage
+
+    sys.stdout.write(m8_coverage(_in(args.m8)))
+    return 0
+
+
+def _cmd_maplen_hist(args) -> int:
+    from megapath_tpu.utils.accuracy import maplen_stats
+
+    sys.stdout.write(maplen_stats(_in(args.m8)))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="megapath-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -418,6 +476,32 @@ def main(argv=None) -> int:
     s.add_argument("--trimq", type=int, default=10)
     s.add_argument("--entropy", type=float, default=0.75)
     s.set_defaults(fn=_cmd_bbduk)
+
+    s = sub.add_parser("amplicon", help="amplicon (TB) variant pipeline")
+    s.add_argument("-1", dest="r1", required=True)
+    s.add_argument("-2", dest="r2", required=True)
+    s.add_argument("-p", dest="prefix", default="amplicon")
+    s.add_argument("--target-index", required=True)
+    s.add_argument("--decoy-index", nargs="*", default=None)
+    s.add_argument("--taxon-index", default=None)
+    s.add_argument("--adapters", default=None)
+    s.add_argument("--final-as", type=int, default=150)
+    s.add_argument("--min-depth", type=int, default=4)
+    s.set_defaults(fn=_cmd_amplicon)
+
+    s = sub.add_parser("count-table", help="per-rank uniq/non-uniq counts")
+    s.add_argument("nodes")
+    s.add_argument("names")
+    s.add_argument("lsam_id", nargs="?", default="-")
+    s.set_defaults(fn=_cmd_count_table)
+
+    s = sub.add_parser("m8-cov", help="per-subject merged m8 coverage")
+    s.add_argument("m8", nargs="?", default="-")
+    s.set_defaults(fn=_cmd_m8_cov)
+
+    s = sub.add_parser("maplen-hist", help="per-target mapping-length stats")
+    s.add_argument("m8", nargs="?", default="-")
+    s.set_defaults(fn=_cmd_maplen_hist)
 
     args = ap.parse_args(argv)
     return args.fn(args)

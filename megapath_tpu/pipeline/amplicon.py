@@ -170,6 +170,38 @@ class AmpliconPipeline:
         )
 
     # ------------------------------------------------------------------
+    def run_files(self, r1_path, r2_path, out_prefix: str) -> AmpliconResult:
+        """File driver: FASTQ pair in, ``<prefix>.vcf`` + stats out,
+        with a ``.done`` resume marker like the reference driver's
+        stage gates (runMegaPath-Amplicon.sh:85,203,241)."""
+        import os
+        import sys
+
+        from megapath_tpu.io.fastq import read_fastx, trim_readno
+        from megapath_tpu.io.vcf import write_vcf
+
+        done = out_prefix + ".done"
+        if os.path.exists(done):
+            print(f"Skipping: {done} exists", file=sys.stderr)
+            return AmpliconResult(0, 0, 0, 0, 0, [])
+        recs1 = list(read_fastx(r1_path))
+        recs2 = list(read_fastx(r2_path))
+        for r in recs1 + recs2:
+            r.name = trim_readno(r.name)
+        result = self.run_records(recs1, recs2)
+        contigs = [
+            (name.split()[0], int(ln))
+            for name, ln in zip(
+                self.target_ref.names, np.diff(self.target_ref.offsets)
+            )
+        ]
+        with open(out_prefix + ".vcf", "w") as f:
+            write_vcf(result.variants, f, contigs=contigs)
+        with open(done, "w") as f:
+            f.write("ok\n")
+        return result
+
+    # ------------------------------------------------------------------
     def _call_and_realign(
         self, hits, ok, recs1, recs2, reads1, lens1, reads2, lens2
     ) -> List[Variant]:

@@ -66,3 +66,170 @@ def evaluate(
             st.fn += 1
             st.fp += len(hit_sp)
     return st
+
+
+# ---------------------------------------------------------------------------
+# genCountTable equivalent: per-rank unique/non-unique read counts
+# ---------------------------------------------------------------------------
+
+
+def count_table(db: TaxDB, records: Iterable[LsamRecord]) -> str:
+    """Rank-level unique/non-unique hit count table.
+
+    Mirrors /root/reference/cc/genCountTable.cpp: each read's hit
+    taxids walk up to their species/genus/family/superkingdom; a taxon
+    whose rank-set for the read is a singleton gets a unique count,
+    every member of a larger set gets a non-unique count. Missing
+    genus/family ranks get synthetic placeholder nodes (so species
+    still roll up). Rows print depth-first under each superkingdom,
+    siblings ordered by unique count.
+    """
+    RANKS = ("superkingdom", "family", "genus", "species")
+    uniq: Dict[int, int] = {}
+    nonuniq: Dict[int, int] = {}
+    sons: Dict[int, Set[int]] = {}
+    ROOT = -2
+    SYN_G, SYN_F = 1 << 31, 1 << 30  # synthetic-rank tag bits
+
+    def lineage(tid: int):
+        sp = g = f = sk = -1
+        while tid not in (0, 1):
+            r = db.rank_of(tid)
+            if r == "species":
+                sp = tid
+            elif r == "genus":
+                g = tid
+            elif r == "family":
+                f = tid
+            elif r == "superkingdom":
+                sk = tid
+            tid = int(db.parent[tid]) if tid < len(db.parent) else 0
+        return sp, g, f, sk
+
+    for rec in records:
+        st = {r: set() for r in RANKS}
+        for _, t in rec.hits:
+            sp, g, f, sk = lineage(int(float(t)))
+            if sp < 0:
+                continue
+            g = g if g >= 0 else sp | SYN_G
+            f = f if f >= 0 else g | SYN_F
+            st["species"].add(sp)
+            st["genus"].add(g)
+            st["family"].add(f)
+            st["superkingdom"].add(sk)
+            sons.setdefault(g, set()).add(sp)
+            sons.setdefault(f, set()).add(g)
+            sons.setdefault(sk, set()).add(f)
+            sons.setdefault(ROOT, set()).add(sk)
+        for r in RANKS:
+            s = st[r]
+            if len(s) == 1:
+                t = next(iter(s))
+                uniq[t] = uniq.get(t, 0) + 1
+            else:
+                for t in s:
+                    nonuniq[t] = nonuniq.get(t, 0) + 1
+
+    out: List[str] = []
+
+    def emit(tid: int) -> None:
+        if tid >= 0 and (tid & (SYN_G | SYN_F)) == 0:
+            names = {r: "-" for r in RANKS}
+            t = tid
+            while t not in (0, 1):
+                r = db.rank_of(t)
+                if r in names:
+                    names[r] = db.name_of(t)
+                t = int(db.parent[t]) if t < len(db.parent) else 0
+            out.append(
+                "\t".join(
+                    [db.rank_of(tid)]
+                    + [names[r] for r in RANKS]
+                    + [str(uniq.get(tid, 0)), str(nonuniq.get(tid, 0))]
+                )
+            )
+        kids = sorted(sons.get(tid, ()), key=lambda s: -uniq.get(s, 0))
+        for s in kids:
+            emit(s)
+
+    emit(ROOT)
+    return "\n".join(out) + ("\n" if out else "")
+
+
+# ---------------------------------------------------------------------------
+# m8 coverage / mapping-length statistics (calculate_m8_cov,
+# m8_to_mapLen_hist equivalents)
+# ---------------------------------------------------------------------------
+
+
+def _merge_intervals(iv: List[tuple]) -> tuple:
+    """Sorted-merge; returns (merged list, total covered length)."""
+    if not iv:
+        return [], 0
+    iv = sorted(iv)
+    merged = [list(iv[0])]
+    for a, b in iv[1:]:
+        if a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    cov = sum(b - a + 1 for a, b in merged)
+    return [tuple(m) for m in merged], cov
+
+
+def m8_coverage(lines: Iterable[str]) -> str:
+    """Per-subject merged alignment intervals + covered bases
+    (/root/reference/cc/calculate_m8_cov.cpp semantics: subject-side
+    [ss,se] intervals, inclusive ends, swapped when reversed)."""
+    per: Dict[str, List[tuple]] = {}
+    for line in lines:
+        cols = line.split()
+        if len(cols) < 12:
+            continue
+        ss, se = int(cols[8]), int(cols[9])
+        if ss > se:
+            ss, se = se, ss
+        per.setdefault(cols[1], []).append((ss, se))
+    out = []
+    for sid in sorted(per):
+        merged, cov = _merge_intervals(per[sid])
+        ivs = ";".join(f"{a},{b}" for a, b in merged)
+        out.append(f"{sid}\t{ivs}\t{cov}")
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def maplen_stats(lines: Iterable[str]) -> str:
+    """Per-target mapping-length distribution + coverage + NC50
+    (/root/reference/cc/m8_to_mapLen_hist.cpp: first hit per query,
+    query alignment lengths sorted descending; NC50 = #queries whose
+    cumulative mapping length reaches half the covered bases)."""
+    intervals: Dict[str, List[tuple]] = {}
+    qlens: Dict[str, List[int]] = {}
+    last_q = None
+    for line in lines:
+        cols = line.split()
+        if len(cols) < 12 or cols[0] == last_q:
+            continue
+        last_q = cols[0]
+        qs, qe, ss, se = (int(cols[6]), int(cols[7]), int(cols[8]), int(cols[9]))
+        if ss > se:
+            ss, se = se, ss
+        intervals.setdefault(cols[1], []).append((ss, se))
+        qlens.setdefault(cols[1], []).append(abs(qe - qs) + 1)
+    out = []
+    for sid in sorted(intervals):
+        _, cov = _merge_intervals(intervals[sid])
+        lens = sorted(qlens[sid], reverse=True)
+        total = sum(lens)
+        acc, nc50 = 0, 0
+        for ln in lens:
+            acc += ln
+            nc50 += 1
+            if acc * 2 >= cov:
+                break
+        out.append(
+            f"Target: {sid}\tn={len(lens)}\ttotal_maplen={total}\t"
+            f"cov={cov}\tNC50={nc50}\tlens={','.join(map(str, lens))}"
+        )
+    return "\n".join(out) + ("\n" if out else "")

@@ -79,3 +79,28 @@ def test_amplicon_pipeline_no_false_calls(amp_world):
     r1, r2 = _pairs(tb, 15, rng)
     res = pipe.run_records(r1, r2)
     assert res.variants == []
+
+
+def test_amplicon_run_files(amp_world, tmp_path):
+    tb_pack = amp_world[0]
+    tb = amp_world[2]
+    rng = np.random.default_rng(5)
+    pipe = AmpliconPipeline(
+        target=tb_pack, config=AmpliconConfig(final_as=80, min_depth=3)
+    )
+    snp_pos = 2000
+    r1, r2 = _pairs(tb, 16, rng, snp_at=snp_pos)
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    for p, recs in ((p1, r1), (p2, r2)):
+        with open(p, "w") as f:
+            for r in recs:
+                f.write(f"@{r.name}\n{r.seq}\n+\n{r.qual}\n")
+    res = pipe.run_files(str(p1), str(p2), str(tmp_path / "amp"))
+    vcf = (tmp_path / "amp.vcf").read_text()
+    assert "##fileformat=VCFv4.2" in vcf
+    if res.variants:  # SNP present in reads vs reference
+        assert f"TB\t{snp_pos + 1}\t" in vcf
+    assert (tmp_path / "amp.done").exists()
+    # rerun skips (resume marker)
+    res2 = pipe.run_files(str(p1), str(p2), str(tmp_path / "amp"))
+    assert res2.n_input == 0

@@ -126,3 +126,62 @@ def test_reassign_cli(tmp_path, capsys, monkeypatch):
     )
     rc, out = run_cli(["reassign", str(p)], capsys=capsys)
     assert rc == 0 and "101" in out
+
+
+def test_m8_cov(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.m8"
+    p.write_text(
+        "q1\ts1\t99\t50\t0\t0\t1\t50\t10\t59\t1e-9\t90\n"
+        "q2\ts1\t99\t50\t0\t0\t1\t50\t40\t99\t1e-9\t90\n"
+        "q3\ts1\t99\t20\t0\t0\t1\t20\t200\t181\t1e-9\t40\n"
+    )
+    rc, out = run_cli(["m8-cov", str(p)], capsys=capsys)
+    # [10,59]+[40,99] merge to [10,99] (90), [181,200] reversed (20)
+    assert out.strip() == "s1\t10,99;181,200\t110"
+
+
+def test_maplen_hist(tmp_path, capsys, monkeypatch):
+    p = tmp_path / "a.m8"
+    p.write_text(
+        "q1\ts1\t99\t50\t0\t0\t1\t50\t10\t59\t1e-9\t90\n"
+        "q1\ts1\t99\t30\t0\t0\t1\t30\t80\t109\t1e-9\t50\n"  # dup query: skipped
+        "q2\ts1\t99\t30\t0\t0\t1\t30\t70\t99\t1e-9\t50\n"
+    )
+    rc, out = run_cli(["maplen-hist", str(p)], capsys=capsys)
+    assert "Target: s1" in out and "n=2" in out
+
+
+def test_count_table(tmp_path, capsys, monkeypatch, fixtures_dir=None):
+    import pathlib
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    p = tmp_path / "a.lsamid"
+    p.write_text(
+        "r1\t64\t50\t*\t*\t50,562\n"          # unique E. coli
+        "r2\t64\t50\t*\t*\t50,562;48,28901\n"  # two species, same family
+    )
+    rc, out = run_cli(
+        ["count-table", str(fx / "nodes.dmp"), str(fx / "names.dmp"), str(p)],
+        capsys=capsys,
+    )
+    rows = {l.split("\t")[0]: l.split("\t") for l in out.strip().split("\n")}
+    # species 562: 1 unique (r1), 1 non-unique (r2)
+    sp_rows = [l for l in out.strip().split("\n") if l.startswith("species")]
+    assert any(r.split("\t")[-2:] == ["1", "1"] for r in sp_rows)
+    # family level: both reads resolve to one family -> 2 unique
+    fam = [l for l in out.strip().split("\n") if l.startswith("family")]
+    assert fam and fam[0].split("\t")[-2:] == ["2", "0"]
+
+
+def test_vcf_writer(tmp_path):
+    import io as _io
+
+    from megapath_tpu.io.vcf import write_vcf
+    from megapath_tpu.pipeline.amplicon import Variant
+
+    buf = _io.StringIO()
+    vs = [Variant(seq="chr1 desc", pos=9, ref="A", alt="T", depth=20, alt_count=19)]
+    write_vcf(vs, buf, contigs=[("chr1", 1000)])
+    text = buf.getvalue()
+    assert "##fileformat=VCFv4.2" in text
+    assert "chr1\t10\t.\tA\tT\t95\tPASS\tDP=20;AC=19\tGT:AD\t1/1:1,19" in text
