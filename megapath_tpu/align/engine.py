@@ -458,48 +458,52 @@ class AlignEngine:
         singles: List[Tuple[int, int, int, int, int, int]] = []
         # (pair, end, strand, g_start, g_stop, score)
 
-        for end, sp in ((0, sp1), (1, sp2)):
-            m = todo_set[sp.read]
-            if not m.any():
-                continue
-            reads_idx = sp.read[m] + end * n
-            strands = sp.strand[m]
-            pos = sp.pos[m]
+        # batch BOTH ends into one device call (each call pays the
+        # device round-trip; the tunnel latency dominates small DPs)
+        m1 = todo_set[sp1.read]
+        m2 = todo_set[sp2.read]
+        pair_b = np.concatenate([sp1.read[m1], sp2.read[m2]])
+        end_b = np.concatenate(
+            [np.zeros(int(m1.sum()), np.int8), np.ones(int(m2.sum()), np.int8)]
+        )
+        strand_b = np.concatenate([sp1.strand[m1], sp2.strand[m2]])
+        pos_b = np.concatenate([sp1.pos[m1], sp2.pos[m2]])
+        if len(pair_b):
+            reads_idx = pair_b.astype(np.int64) + end_b.astype(np.int64) * n
             rl = all_lens[reads_idx]
             margin = np.where(rl > 100, 30, 25)
             Wwin = _round_up(int(rl.max(initial=1)) + 62, 64)
             # + strand: forward read; - strand: revcomp
             fwd = allr[reads_idx]
             seqs = np.where(
-                (strands == 0)[:, None], fwd, _revcomp_rows(fwd, rl)
+                (strand_b == 0)[:, None], fwd, _revcomp_rows(fwd, rl)
             ).astype(np.uint8)
-            wstart = pos - margin
+            wstart = pos_b - margin
             score, st_ref, e_ref = self._device_align(
                 seqs, rl.astype(np.int32), wstart, Wwin
             )
             thr = np.maximum((params.cutoff_ratio * rl).astype(np.int64),
                              params.cutoff_lower_bound)
             kidx = np.flatnonzero(score >= thr)
-            if len(kidx) == 0:
-                continue
-            g_start = wstart[kidx] + st_ref[kidx]
-            g_stop = wstart[kidx] + e_ref[kidx]
-            seq_s = self.ref.seq_of_pos(g_start)
-            seq_e = self.ref.seq_of_pos(np.maximum(g_stop - 1, g_start))
-            ok = (seq_s == seq_e) & (g_start >= 0)
-            for t in np.flatnonzero(ok):
-                j = kidx[t]
-                singles.append(
-                    (
-                        int(sp.read[m][j]),
-                        end,
-                        int(strands[j]),
-                        int(g_start[t]),
-                        int(g_stop[t]),
-                        int(score[j]),
-                        int(seq_s[t]),
+            if len(kidx):
+                g_start = wstart[kidx] + st_ref[kidx]
+                g_stop = wstart[kidx] + e_ref[kidx]
+                seq_s = self.ref.seq_of_pos(g_start)
+                seq_e = self.ref.seq_of_pos(np.maximum(g_stop - 1, g_start))
+                ok = (seq_s == seq_e) & (g_start >= 0)
+                for t in np.flatnonzero(ok):
+                    j = kidx[t]
+                    singles.append(
+                        (
+                            int(pair_b[j]),
+                            int(end_b[j]),
+                            int(strand_b[j]),
+                            int(g_start[t]),
+                            int(g_stop[t]),
+                            int(score[j]),
+                            int(seq_s[t]),
+                        )
                     )
-                )
 
         if not singles:
             return BatchHits.empty()

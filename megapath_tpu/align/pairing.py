@@ -86,21 +86,28 @@ def pair_candidates(
         rread, rpos = rread[rorder], rpos[rorder]
 
         # divide-gap compression of left positions per read (anchor
-        # chain; jump loop over kept anchors)
-        keep = np.zeros(len(lread), dtype=bool)
-        b = 0
+        # chain), vectorized as pointer jumping over a composite
+        # (read, pos) key — one round per chain depth instead of one
+        # searchsorted per anchor
         nl = len(lread)
-        while b < nl:
-            keep[b] = True
-            r = lread[b]
-            # next position beyond the gap within the same read run
-            hi = int(np.searchsorted(lread, r, "right"))
-            nxt = b + int(
-                np.searchsorted(
-                    lpos[b:hi], lpos[b] + params.divide_gap, "right"
-                )
-            )
-            b = nxt if nxt > b else b + 1
+        rchange = np.flatnonzero(np.r_[True, lread[1:] != lread[:-1], True])
+        base = lpos.min()
+        key = (lread.astype(np.int64) << 34) | (lpos - base)
+        nxt = np.searchsorted(
+            key,
+            (lread.astype(np.int64) << 34) | (lpos - base + params.divide_gap),
+            side="right",
+        )
+        seg_end = rchange[
+            np.searchsorted(rchange, np.arange(nl, dtype=np.int64), side="right")
+        ]
+        keep = np.zeros(nl, dtype=bool)
+        active = rchange[:-1].astype(np.int64)
+        while len(active):
+            keep[active] = True
+            prev = active
+            active = nxt[active]
+            active = active[active < seg_end[prev]]
         lread, lpos = lread[keep], lpos[keep]
 
         # composite-key window join over ALL reads at once

@@ -154,8 +154,13 @@ def _counts_of(dfm: DeviceFM, c: jnp.ndarray) -> jnp.ndarray:
 def extend_backward(
     dfm: DeviceFM, lo: jnp.ndarray, hi: jnp.ndarray, c: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # one batched rank query for both interval ends (one gather launch)
     C = _counts_of(dfm, c)
-    return C + _occ_full(dfm, lo, c), C + _occ_full(dfm, hi, c)
+    B = lo.shape[0]
+    r = _occ_full(
+        dfm, jnp.concatenate([lo, hi]), jnp.concatenate([c, c])
+    )
+    return C + r[:B], C + r[B:]
 
 
 class DeviceSeeds(NamedTuple):

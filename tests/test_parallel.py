@@ -27,7 +27,8 @@ def test_dryrun_multichip(n):
 
 
 def test_dist_merge_correctness():
-    """Cross-shard pmax merge picks the true best shard per read."""
+    """Cross-shard all_gather merge picks the true best shard per read
+    and maps the hit through the shard's sequence->species table."""
     from megapath_tpu.parallel.dist import (
         build_dist_align_step,
         make_mesh,
@@ -38,26 +39,49 @@ def test_dist_merge_correctness():
     S = mesh.shape["shard"]
     D = mesh.shape["data"]
     rng = np.random.default_rng(3)
-    N, B, L, W = 2048, 4 * D, 64, 128
+    N, B, L, W, M = 2048, 4 * D, 64, 128, 4
+    n_species = 11
     ref_shards = rng.integers(0, 4, (S, N)).astype(np.uint8)
+    bounds = np.linspace(0, N, M + 1).astype(np.int32)
+    seq_offsets = np.tile(bounds, (S, 1))
+    seq_species = rng.integers(0, n_species, (S, M)).astype(np.int32)
     reads = rng.integers(0, 4, (B, L)).astype(np.uint8)
     cand_pos = rng.integers(0, N - W, (B, S)).astype(np.int32)
     home = np.zeros(B, dtype=np.int32)
+    want_sp = np.zeros(B, dtype=np.int32)
     for b in range(B):
         s = (b * 7) % S
         home[b] = s
-        p = int(rng.integers(16, N - L - 16))
+        # keep the planted read inside one sequence so the species of
+        # its END position is deterministic
+        seq = int(rng.integers(0, M))
+        lo, hi = int(bounds[seq]), int(bounds[seq + 1])
+        p = int(rng.integers(lo + 16, hi - L - 16))
         reads[b] = ref_shards[s, p : p + L]
         cand_pos[b, s] = p - 8
+        want_sp[b] = seq_species[s, seq]
     lens = np.full(B, L, dtype=np.int32)
 
-    step = build_dist_align_step(mesh, width=W, n_taxa=11)
+    step = build_dist_align_step(mesh, width=W, n_species=n_species)
     placed = shard_arrays(
-        mesh, ref_shards=ref_shards, reads=reads, read_lens=lens, cand_pos=cand_pos
+        mesh, ref_shards=ref_shards, seq_offsets=seq_offsets,
+        seq_species=seq_species, reads=reads, read_lens=lens,
+        cand_pos=cand_pos,
     )
-    bs, bsh, bp, counts = step(
-        placed["ref_shards"], placed["reads"], placed["read_lens"], placed["cand_pos"]
+    out = step(
+        placed["ref_shards"], placed["seq_offsets"], placed["seq_species"],
+        placed["reads"], placed["read_lens"], placed["cand_pos"]
     )
-    np.testing.assert_array_equal(np.asarray(bs), np.full(B, L))
-    np.testing.assert_array_equal(np.asarray(bsh), home)
-    assert int(np.asarray(counts).sum()) == B
+    np.testing.assert_array_equal(np.asarray(out.best_score), np.full(B, L))
+    np.testing.assert_array_equal(np.asarray(out.best_shard), home)
+    # the kept mask keeps at least the winning hit
+    kept = np.asarray(out.kept)
+    assert kept[np.arange(B), home].all()
+    # species of each read's winner matches the planted sequence
+    sp = np.asarray(out.all_species)[np.arange(B), home]
+    np.testing.assert_array_equal(sp, want_sp)
+    # histogram counts every read once under its winner species
+    counts = np.asarray(out.species_counts)
+    assert counts.sum() == B
+    want_hist = np.bincount(want_sp, minlength=n_species)
+    np.testing.assert_array_equal(counts, want_hist)
