@@ -6,29 +6,38 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(HERE, "_saais.so")
 _SRC = os.path.join(HERE, "saais.cpp")
+_FQ_SO = os.path.join(HERE, "_fastq.so")
+_FQ_SRC = os.path.join(HERE, "fastq.cpp")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_fq_lib: Optional[ctypes.CDLL] = None
+_fq_tried = False
 
 
-def build() -> bool:
-    """Compile the shared library; returns success."""
+def _compile(src: str, so: str, extra: Tuple[str, ...] = ()) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", so]
+            + list(extra),
             check=True,
             capture_output=True,
         )
         return True
     except Exception:
         return False
+
+
+def build() -> bool:
+    """Compile the shared library; returns success."""
+    return _compile(_SRC, _SO)
 
 
 def load_saais() -> Optional[ctypes.CDLL]:
@@ -75,6 +84,108 @@ def suffix_array_native(codes: np.ndarray) -> Optional[np.ndarray]:
     return sa
 
 
+def load_fastq_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native FASTQ parser; None if the
+    toolchain or zlib headers are unavailable (callers fall back to the
+    Python parser)."""
+    global _fq_lib, _fq_tried
+    with _lock:
+        if _fq_lib is not None:
+            return _fq_lib
+        if _fq_tried:
+            return None
+        _fq_tried = True
+        if not os.path.exists(_FQ_SO) or os.path.getmtime(_FQ_SO) < os.path.getmtime(_FQ_SRC):
+            if not _compile(_FQ_SRC, _FQ_SO, ("-lz",)):
+                return None
+        try:
+            lib = ctypes.CDLL(_FQ_SO)
+            lib.fq_open.argtypes = [ctypes.c_char_p]
+            lib.fq_open.restype = ctypes.c_void_p
+            lib.fq_close.argtypes = [ctypes.c_void_p]
+            lib.fq_close.restype = None
+            lib.fq_next_batch.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_longlong,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            lib.fq_next_batch.restype = ctypes.c_longlong
+            _fq_lib = lib
+            return _fq_lib
+        except OSError:
+            return None
+
+
+class NativeFastqReader:
+    """Streaming gz-FASTQ reader producing packed code batches.
+
+    The aio_thread.cpp equivalent: C++ parses + packs off the GIL, so a
+    Python reader thread overlaps parsing with device compute.
+    """
+
+    NAME_CAP = 96
+
+    def __init__(self, path: str, max_len: int = 512):
+        lib = load_fastq_lib()
+        if lib is None:
+            raise RuntimeError("native fastq parser unavailable")
+        self._lib = lib
+        self._h = lib.fq_open(os.fspath(path).encode())
+        if not self._h:
+            raise FileNotFoundError(path)
+        self.max_len = max_len
+
+    def next_batch(self, cap: int):
+        """Returns (codes [n, max_len] u8, lens [n] i32, quals [n,
+        max_len] u8 ascii, seqs [n, max_len] u8 raw ascii, names
+        list[str]); n == 0 at EOF."""
+        L = self.max_len
+        codes = np.zeros((cap, L), dtype=np.uint8)
+        lens = np.zeros(cap, dtype=np.int32)
+        quals = np.zeros((cap, L), dtype=np.uint8)
+        seqs = np.zeros((cap, L), dtype=np.uint8)
+        names = ctypes.create_string_buffer(cap * self.NAME_CAP)
+        n = self._lib.fq_next_batch(
+            self._h,
+            ctypes.c_longlong(cap),
+            ctypes.c_int(L),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            names,
+            ctypes.c_int(self.NAME_CAP),
+        )
+        if n < 0:
+            raise ValueError("malformed FASTQ stream")
+        n = int(n)
+        raw = names.raw
+        out_names = [
+            raw[i * self.NAME_CAP : (i + 1) * self.NAME_CAP].split(b"\0", 1)[0].decode()
+            for i in range(n)
+        ]
+        return codes[:n], lens[:n], quals[:n], seqs[:n], out_names
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fq_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 if __name__ == "__main__":
     ok = build()
-    print("built" if ok else "build FAILED")
+    ok2 = _compile(_FQ_SRC, _FQ_SO, ("-lz",))
+    print("saais:", "built" if ok else "FAILED", "| fastq:", "built" if ok2 else "FAILED")

@@ -132,7 +132,9 @@ def sw_align_auto(
         from megapath_tpu.ops.dp_pallas import sw_align_pallas
 
         B = reads.shape[0]
-        block = 256 if B % 256 == 0 else (8 if B % 8 == 0 else 0)
+        # 128-row blocks beat 256 ~1.8x on v5e (finer grid -> better
+        # DMA/compute overlap; one core runs the grid sequentially)
+        block = 128 if B % 128 == 0 else (8 if B % 8 == 0 else 0)
         if block:
             return sw_align_pallas(
                 reads, refs, read_lens, ref_lens, params=params, block_b=block

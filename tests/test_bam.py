@@ -1,0 +1,75 @@
+"""BAM writer/reader round-trip + BGZF validity."""
+
+import gzip
+import io
+
+from megapath_tpu.io.bam import BgzfWriter, bgzf_decompress, read_bam, write_bam
+
+HEADER = (
+    "@HD\tVN:1.6\tSO:unsorted\n"
+    "@SQ\tSN:chr1\tLN:10000\n"
+    "@SQ\tSN:chr2\tLN:5000\n"
+    "@PG\tID:megapath-tpu\tPN:megapath-tpu\n"
+)
+LINES = [
+    "r1\t99\tchr1\t100\t60\t50M\t=\t300\t250\t" + "A" * 50 + "\t" + "I" * 50 + "\tAS:i:48",
+    "r1\t147\tchr1\t300\t60\t10S40M\t=\t100\t-250\t" + "C" * 50 + "\t" + "J" * 50 + "\tAS:i:40",
+    "r2\t77\t*\t0\t0\t*\t*\t0\t0\tACGTN\tIIIII\tAS:i:0",
+    "r3\t0\tchr2\t17\t13\t5M2I3M1D5M\t*\t0\t0\t" + "G" * 15 + "\t" + "K" * 15 + "\tAS:i:9\tXX:Z:hello",
+]
+
+
+def test_bgzf_is_valid_gzip():
+    buf = io.BytesIO()
+    w = BgzfWriter(buf)
+    payload = b"hello bgzf world" * 10000  # spans multiple blocks
+    w.write(payload)
+    w.close()
+    # python gzip handles concatenated members, including the EOF block
+    assert gzip.decompress(buf.getvalue()) == payload
+    assert bgzf_decompress(buf.getvalue()) == payload
+
+
+def test_bam_roundtrip():
+    buf = io.BytesIO()
+    write_bam(buf, HEADER, LINES)
+    buf.seek(0)
+    header, lines = read_bam(buf)
+    assert header == HEADER
+    assert lines == LINES
+
+
+def test_bam_from_sam_writer(tmp_path):
+    """BAM of the engine's own SAM output round-trips."""
+    import numpy as np
+
+    from megapath_tpu.index.fm import build_fm_index
+    from megapath_tpu.index.pack import COMPLEMENT, decode_seq, pack_fasta
+    from megapath_tpu.io.fastq import FastqRecord
+    from megapath_tpu.io.sam import hits_to_sam, sam_header
+    from megapath_tpu.align import AlignEngine, AlignParams
+
+    rng = np.random.default_rng(8)
+    genome = rng.integers(0, 4, 5000).astype(np.uint8)
+    ref = pack_fasta([FastqRecord("g1", decode_seq(genome), "", "")])
+    fm = build_fm_index(ref.codes, sa_interval=4, lut_k=6)
+    eng = AlignEngine(ref, fm, AlignParams())
+    n, L, ins = 8, 80, 300
+    r1 = np.zeros((n, L), np.uint8)
+    r2 = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        p = int(rng.integers(0, 5000 - ins))
+        r1[i] = genome[p : p + L]
+        r2[i] = COMPLEMENT[genome[p + ins - L : p + ins][::-1]]
+    lens = np.full(n, L, np.int32)
+    hits = eng.align_pairs(r1, lens, r2, lens.copy())
+    names = [f"q{i}" for i in range(n)]
+    sam_lines = list(hits_to_sam(hits, ref, names, r1, lens, r2, lens))
+    assert sam_lines
+    buf = io.BytesIO()
+    write_bam(buf, sam_header(ref), sam_lines)
+    buf.seek(0)
+    _, out_lines = read_bam(buf)
+    assert len(out_lines) == len(sam_lines)
+    # first record survives field-for-field
+    assert out_lines[0].split("\t")[:6] == sam_lines[0].split("\t")[:6]
