@@ -59,3 +59,65 @@ def prepare_kraken_fasta(
         tid = acc2tid.get(rec.name.split(".")[0])
         name = f"kraken:taxid|{tid}|{rec.name}" if tid else rec.name
         yield FastqRecord(name, rec.seq, rec.qual, rec.comment)
+
+
+def split_ref_to_reads(
+    records: Iterable[FastqRecord], read_len: int, overlap: int
+) -> Iterator[FastqRecord]:
+    """Chop reference sequences into overlapping pseudo-reads
+    (/root/reference/cc/split_ref_to_reads.cpp): windows step by
+    ``overlap`` with a final window flushed to the sequence end; names
+    get a ``_<offset>`` suffix."""
+    for rec in records:
+        n = len(rec.seq)
+        i = 0
+        while True:
+            if i + read_len > n:
+                i = max(0, n - read_len)
+            yield FastqRecord(
+                f"{rec.name}_{i}", rec.seq[i : i + read_len], "", ""
+            )
+            if i + read_len >= n:
+                break
+            i += overlap
+
+
+def revcomp_fastx(records: Iterable[FastqRecord]) -> Iterator[FastqRecord]:
+    """Reverse-complement records (cc/revCompFastx.cpp); quality
+    strings reverse alongside."""
+    comp = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
+    for rec in records:
+        yield FastqRecord(
+            rec.name,
+            rec.seq.translate(comp)[::-1],
+            rec.qual[::-1] if rec.qual else "",
+            rec.comment,
+        )
+
+
+def smart_pairing(
+    records: Iterable[FastqRecord],
+) -> Tuple[Iterator, list]:
+    """Group a name-sorted stream into interleaved pairs + singles
+    (cc/smart_pairing.cpp): consecutive same-name records pair up (/1
+    /2 suffixes stripped), everything else is single-end. Returns
+    (pairs list interleaved, singles list)."""
+    from megapath_tpu.io.fastq import trim_readno
+
+    pairs: list = []
+    singles: list = []
+    last: Optional[FastqRecord] = None
+    for rec in records:
+        rec.name = trim_readno(rec.name)
+        if last is not None:
+            if last.name == rec.name:
+                pairs.extend((last, rec))
+                last = None
+            else:
+                singles.append(last)
+                last = rec
+        else:
+            last = rec
+    if last is not None:
+        singles.append(last)
+    return pairs, singles

@@ -142,3 +142,37 @@ def gen_kraken_report(db: TaxDB, lsam_id_lines: Iterable[str],
         if line.strip():
             rpt.add_lsam_line(line, score_threshold)
     return rpt.format()
+
+
+def japsa_to_kraken(
+    db: TaxDB,
+    lines,
+    taxid_col: int = 4,
+    aligned_col: int = 8,
+    delimiter: str = "\t",
+) -> str:
+    """Japsa nanopore species-typing TSV -> Kraken-style report.
+
+    Mirrors /root/reference/cc/Japsa/genKrakenReportFromJapsaOutput.cpp:
+    column ``taxid_col`` holds the taxid, ``aligned_col`` the aligned
+    read count; counts accumulate up the lineage and print in the same
+    table shape as genKrakenReport.
+    """
+    rpt = KrakenReport(db)
+    first = True
+    for line in lines:
+        if first:  # header row
+            first = False
+            continue
+        cols = line.rstrip("\n").split(delimiter)
+        if len(cols) <= max(taxid_col, aligned_col):
+            continue
+        try:
+            tid = int(float(cols[taxid_col]))
+            n = int(float(cols[aligned_col]))
+        except ValueError:
+            continue
+        for _ in range(max(n, 0)):
+            rpt._count_lca(tid)
+            rpt.total_reads += 1
+    return rpt.format()

