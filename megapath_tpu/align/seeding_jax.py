@@ -37,35 +37,37 @@ class DeviceFM:
     compile-time constants.
     """
 
-    def __init__(self, n, primary, bwt_words, block_rows, counts, lut2,
+    def __init__(self, n, primary, bwt_words, fused_rows, lut_base, counts,
                  lut_k, mark_bits, sa_sampled, sa_interval):
         self.n = n
         self.primary = primary
         self.bwt_words = bwt_words  # uint32 [n_words]
-        # fused (n_blocks+1, 4+wpb) uint32 rows: occ checkpoint (4
-        # counts) || the block's packed BWT words. One row gather per
-        # rank query instead of two — TPU gathers are the seeding
-        # loop's bottleneck, so halving the gather count matters more
-        # than the duplicated storage.
-        self.block_rows = block_rows
+        # fused uint32 row table, one gather launch serves every lookup
+        # the seeding loop makes (per-gather launch cost dominated the
+        # loop, see git history):
+        #   rows [0, lut_base):  occ checkpoint (4 counts) || the
+        #                        block's packed BWT words
+        #   rows [lut_base, .):  k-mer LUT (lo, hi) rows, zero padded
+        self.fused_rows = fused_rows
+        self.lut_base = lut_base  # == n_blocks + 1
         self.counts = counts  # int32 [5]
-        self.lut2 = lut2  # int32 [4^k, 2] fused lo/hi rows ([1,2] if k==0)
         self.lut_k = lut_k
         self.mark_bits = mark_bits  # int32 [n+2] prefix rank of marks
         self.sa_sampled = sa_sampled  # int32 [n_marked]
         self.sa_interval = sa_interval
 
     def tree_flatten(self):
-        leaves = (self.bwt_words, self.block_rows, self.counts, self.lut2,
+        leaves = (self.bwt_words, self.fused_rows, self.counts,
                   self.mark_bits, self.sa_sampled)
-        aux = (self.n, self.primary, self.lut_k, self.sa_interval)
+        aux = (self.n, self.primary, self.lut_base, self.lut_k,
+               self.sa_interval)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, primary, lut_k, sa_interval = aux
-        bwt_words, block_rows, counts, lut2, mark_bits, sa_sampled = leaves
-        return cls(n, primary, bwt_words, block_rows, counts, lut2,
+        n, primary, lut_base, lut_k, sa_interval = aux
+        bwt_words, fused_rows, counts, mark_bits, sa_sampled = leaves
+        return cls(n, primary, bwt_words, fused_rows, lut_base, counts,
                    lut_k, mark_bits, sa_sampled, sa_interval)
 
     @classmethod
@@ -75,23 +77,21 @@ class DeviceFM:
         wpb = OCC_BLOCK // WORD_CHARS
         words2d = fm.bwt_words.reshape(-1, wpb)
         n_blocks = fm.occ.shape[0] - 1
-        block_rows = np.zeros((n_blocks + 1, 4 + wpb), dtype=np.uint32)
-        block_rows[:, :4] = fm.occ.astype(np.uint32)
+        n_lut = (4 ** lut_k) if lut_k else 0
+        fused = np.zeros((n_blocks + 1 + n_lut, 4 + wpb), dtype=np.uint32)
+        fused[: n_blocks + 1, :4] = fm.occ.astype(np.uint32)
         m = min(n_blocks, words2d.shape[0])
-        block_rows[:m, 4:] = words2d[:m]
+        fused[:m, 4:] = words2d[:m]
         if lut_k:
-            lut2 = np.stack(
-                [fm.lut_lo.astype(np.int32), fm.lut_hi.astype(np.int32)], axis=1
-            )
-        else:
-            lut2 = np.zeros((1, 2), np.int32)
+            fused[n_blocks + 1 :, 0] = fm.lut_lo.astype(np.uint32)
+            fused[n_blocks + 1 :, 1] = fm.lut_hi.astype(np.uint32)
         return cls(
             n=int(fm.n),
             primary=int(fm.primary),
             bwt_words=jnp.asarray(fm.bwt_words),
-            block_rows=jnp.asarray(block_rows),
+            fused_rows=jnp.asarray(fused),
+            lut_base=n_blocks + 1,
             counts=jnp.asarray(fm.counts.astype(np.int32)),
-            lut2=jnp.asarray(lut2),
             lut_k=int(lut_k),
             mark_bits=jnp.asarray(fm.mark_rank.astype(np.int32)),
             sa_sampled=jnp.asarray(fm.sa_sampled.astype(np.int32)),
@@ -115,12 +115,19 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     less VPU work on the seeding hot loop.
     """
     block = idx // OCC_BLOCK
-    rows = jnp.take(dfm.block_rows, block, axis=0)  # (B, 4+wpb) uint32
+    rows = jnp.take(dfm.fused_rows, block, axis=0)  # (B, 4+wpb) uint32
+    rel = idx - block * OCC_BLOCK
+    return _occ_from_rows(rows, rel, c)
+
+
+def _occ_from_rows(
+    rows: jnp.ndarray, rel: jnp.ndarray, c: jnp.ndarray
+) -> jnp.ndarray:
+    """In-block rank from pre-gathered fused rows (occ4 || words)."""
     four = jnp.arange(4, dtype=jnp.int32)[None, :]
     base = jnp.sum(
         jnp.where(four == c[:, None], rows[:, :4], jnp.uint32(0)), axis=1
     ).astype(jnp.int32)
-    rel = idx - block * OCC_BLOCK
     w = rows[:, 4:]
     pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[:, None]
     x = ~(w ^ pat)
@@ -260,7 +267,15 @@ def device_mmp_seed(
     min_len = jnp.int32(params.seed_min_length)
 
     def emit(s: S, idx_mask, at_end) -> S:
-        """CHECK_AND_ADD_RANGE for masked walkers."""
+        """CHECK_AND_ADD_RANGE for masked walkers. ``at_end`` may be a
+        bool (all rows) or a per-row bool array: at-end rows keep their
+        cursor/state, mid-walk rows reset + roll the cursor back — one
+        unified pass serves both the done-emit and the fail-emit, so
+        the output buffers are touched once per iteration."""
+        if isinstance(at_end, bool):
+            end_mask = jnp.full(idx_mask.shape, at_end)
+        else:
+            end_mask = at_end
         sl = s.seed_len
         can = sl >= min_len
         rb = (
@@ -299,25 +314,28 @@ def device_mmp_seed(
         out_lo = scat(s.out_lo, lo)
         n_seeds = s.n_seeds + room.astype(jnp.int32)
 
-        if at_end:
-            i = s.i
-        else:
-            i = jnp.where(
-                idx_mask, s.i - (diff + jnp.minimum(sl, min_len) - 1), s.i
-            )
-        reset = idx_mask & jnp.bool_(not at_end)
+        mid = idx_mask & ~end_mask  # mid-walk (fail) rows
+        i = jnp.where(mid, s.i - (diff + jnp.minimum(sl, min_len) - 1), s.i)
         return s._replace(
             i=i,
-            lo=jnp.where(reset, 0, s.lo),
-            hi=jnp.where(reset, n_rows, s.hi),
-            seed_len=jnp.where(reset, 0, sl if at_end else jnp.where(idx_mask, 0, s.seed_len)),
-            last_lo=jnp.where(reset, 0, s.last_lo),
-            last_hi=jnp.where(reset, n_rows, s.last_hi),
-            last_len=jnp.where(reset, 0, s.last_len),
+            lo=jnp.where(mid, 0, s.lo),
+            hi=jnp.where(mid, n_rows, s.hi),
+            seed_len=jnp.where(
+                mid, 0, jnp.where(idx_mask & end_mask, sl, s.seed_len)
+            ),
+            last_lo=jnp.where(mid, 0, s.last_lo),
+            last_hi=jnp.where(mid, n_rows, s.last_hi),
+            last_len=jnp.where(mid, 0, s.last_len),
             out_meta=out_meta,
             out_lo=out_lo,
             n_seeds=n_seeds,
         )
+
+    # fused pick table: one masked reduction serves both the k-mer
+    # value and the next-char lookups (per-op launch cost dominates)
+    if k:
+        stacked = jnp.concatenate([km, walkers_i], axis=0)  # (2Wn, L)
+        col_2l = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     def body(s: S) -> S:
         fresh = s.active & (s.seed_len == 0)
@@ -329,13 +347,13 @@ def device_mmp_seed(
         fresh = fresh & ~die
         active = s.active & ~die
 
-        # ext walkers whose cursor ran off the end: final emit
+        # ext walkers whose cursor ran off the end: deferred to the
+        # single unified emit at the bottom (their state is untouched
+        # by the char step since done rows leave fresh/ext)
         done = ext & (s.i >= lens)
-        s2 = emit(s._replace(active=active), done, at_end=True)
         active = active & ~done
         ext = ext & ~done
 
-        # character / LUT step (compute for every walker; mask later).
         # Per-row column picks use one-hot reductions: a 2D fancy
         # gather lowers to a scalar loop on TPU, a masked row reduce
         # stays on the VPU.
@@ -346,17 +364,44 @@ def device_mmp_seed(
                 jnp.where(col_l == j_of_row[:, None], tab2d, 0), axis=1
             )
 
+        jj = jnp.clip(lens - 1 - s.i, 0, L - 1)
         if k:
-            j0 = jnp.clip(lens - s2.i - k, 0, L - 1)
-            v = pick(km, j0)
-            lrows = jnp.take(dfm.lut2, v, axis=0)
-            lut_lo = lrows[:, 0]
-            lut_hi = lrows[:, 1]
-        jj = jnp.clip(lens - 1 - s2.i, 0, L - 1)
-        c = pick(walkers_i, jj)
-        b_lo, b_hi = extend_backward(
-            dfm, s2.lo, s2.hi, jnp.where(ext, c, 0)
+            j0 = jnp.clip(lens - s.i - k, 0, L - 1)
+            picked = jnp.sum(
+                jnp.where(
+                    col_2l == jnp.concatenate([j0, jj])[:, None], stacked, 0
+                ),
+                axis=1,
+            )
+            v = picked[:Wn]
+            c = picked[Wn:]
+        else:
+            c = pick(walkers_i, jj)
+        c_ext = jnp.where(ext, c, 0)
+
+        # ONE fused row gather serves both rank queries and the LUT:
+        # [block(lo), block(hi), lut_base + kmer] into fused_rows
+        adj_lo = s.lo - (s.lo > dfm.primary).astype(jnp.int32)
+        adj_hi = s.hi - (s.hi > dfm.primary).astype(jnp.int32)
+        blk_lo = adj_lo // OCC_BLOCK
+        blk_hi = adj_hi // OCC_BLOCK
+        if k:
+            allidx = jnp.concatenate([blk_lo, blk_hi, dfm.lut_base + v])
+            rows = jnp.take(dfm.fused_rows, allidx, axis=0)
+            occ_rows = rows[: 2 * Wn]
+            lut_lo = rows[2 * Wn :, 0].astype(jnp.int32)
+            lut_hi = rows[2 * Wn :, 1].astype(jnp.int32)
+        else:
+            occ_rows = jnp.take(
+                dfm.fused_rows, jnp.concatenate([blk_lo, blk_hi]), axis=0
+            )
+        rel = jnp.concatenate(
+            [adj_lo - blk_lo * OCC_BLOCK, adj_hi - blk_hi * OCC_BLOCK]
         )
+        r = _occ_from_rows(occ_rows, rel, jnp.concatenate([c_ext, c_ext]))
+        C = _counts_of(dfm, c_ext)
+        b_lo = C + r[:Wn]
+        b_hi = C + r[Wn:]
 
         if k:
             nlo = jnp.where(fresh, lut_lo, b_lo)
@@ -365,8 +410,8 @@ def device_mmp_seed(
             # LUT-free: fresh walkers extend from the full interval
             f_lo, f_hi = extend_backward(
                 dfm,
-                jnp.zeros_like(s2.lo),
-                jnp.full_like(s2.hi, n_rows),
+                jnp.zeros_like(s.lo),
+                jnp.full_like(s.hi, n_rows),
                 jnp.where(fresh, c, 0),
             )
             nlo = jnp.where(fresh, f_lo, b_lo)
@@ -376,30 +421,31 @@ def device_mmp_seed(
         # fresh success: jump k (or 1) chars
         if k:
             adv = jnp.where(fresh, k, 1).astype(jnp.int32)
-            new_len = jnp.where(fresh, k, s2.seed_len + 1).astype(jnp.int32)
+            new_len = jnp.where(fresh, k, s.seed_len + 1).astype(jnp.int32)
         else:
             adv = jnp.ones(Wn, jnp.int32)
-            new_len = jnp.where(fresh, 1, s2.seed_len + 1).astype(jnp.int32)
+            new_len = jnp.where(fresh, 1, s.seed_len + 1).astype(jnp.int32)
 
         stepping = (fresh | ext) & ok
         # CHECK_AND_SET_LAST (ext only; fresh has seed_len < min)
-        narrow = (nhi - nlo) < (s2.hi - s2.lo)
-        upd = ext & ok & (s2.seed_len >= min_len) & narrow
-        s3 = s2._replace(
-            last_lo=jnp.where(upd, s2.lo, s2.last_lo),
-            last_hi=jnp.where(upd, s2.hi, s2.last_hi),
-            last_len=jnp.where(upd, s2.seed_len, s2.last_len),
-            lo=jnp.where(stepping, nlo, s2.lo),
-            hi=jnp.where(stepping, nhi, s2.hi),
-            seed_len=jnp.where(stepping, new_len, s2.seed_len),
-            i=jnp.where(stepping, s2.i + adv, s2.i),
+        narrow = (nhi - nlo) < (s.hi - s.lo)
+        upd = ext & ok & (s.seed_len >= min_len) & narrow
+        s3 = s._replace(
+            last_lo=jnp.where(upd, s.lo, s.last_lo),
+            last_hi=jnp.where(upd, s.hi, s.last_hi),
+            last_len=jnp.where(upd, s.seed_len, s.last_len),
+            lo=jnp.where(stepping, nlo, s.lo),
+            hi=jnp.where(stepping, nhi, s.hi),
+            seed_len=jnp.where(stepping, new_len, s.seed_len),
+            i=jnp.where(stepping, s.i + adv, s.i),
             active=active,
         )
         # fresh failure (empty LUT bucket / first char dead): net +1
         fresh_fail = fresh & ~ok
         s3 = s3._replace(i=jnp.where(fresh_fail, s3.i + 1, s3.i))
-        # ext failure: emit + reset (+1 net advance folded in emit)
-        s4 = emit(s3, ext & ~ok, at_end=False)
+        # done walkers emit keeping state; ext failures emit + reset
+        # (+1 net advance folded into emit) — one buffer pass total
+        s4 = emit(s3, done | (ext & ~ok), at_end=done)
         return s4._replace(step=s.step + 1)
 
     def cond(s: S) -> jnp.ndarray:

@@ -111,8 +111,16 @@ def pack_fasta(records: Iterable[FastqRecord]) -> PackedReference:
             ends = np.flatnonzero(d == -1) + total
             amb.extend(zip(starts.tolist(), ends.tolist()))
         chunks.append(codes)
-        names.append(rec.name)
-        annotations.append(rec.name if not rec.comment else f"{rec.name} {rec.comment}")
+        # the reference's .ann keeps the first header token as the
+        # sequence name (2bwt-lib TextConverter); descriptions embedded
+        # in rec.name would otherwise leak into hit annotations and
+        # break accession->taxid lookup
+        name = rec.name.split()[0] if rec.name.split() else rec.name
+        desc = rec.name[len(name):].strip()
+        if rec.comment:
+            desc = f"{desc} {rec.comment}".strip()
+        names.append(name)
+        annotations.append(name if not desc else f"{name} {desc}")
         total += len(codes)
         offsets.append(total)
     return PackedReference(

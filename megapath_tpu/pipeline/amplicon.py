@@ -170,6 +170,88 @@ class AmpliconPipeline:
         )
 
     # ------------------------------------------------------------------
+    def assembly_filter(
+        self,
+        recs1: List[FastqRecord],
+        recs2: List[FastqRecord],
+        reads1: np.ndarray,
+        lens1: np.ndarray,
+        reads2: np.ndarray,
+        lens2: np.ndarray,
+        regions: Sequence[Tuple[int, int]],
+        mean_mapq_thres: int = 10,
+        k: int = 31,
+    ) -> np.ndarray:
+        """Per-amplicon-region assembly filter -> keep mask per pair.
+
+        Mirrors the reference's assembly-filter stage
+        (runMegaPath-Amplicon.sh:104-138 + scripts/amplicon/
+        filter_contigs.py): reads mapping to each region assemble into
+        contigs; a region's reads survive when they align to a
+        credible contig (contig maps back to the region AND its reads
+        average MAPQ >= thres) or fail to align to any contig; when no
+        contig maps to the region at all, the whole region's reads are
+        retained. MEGAHIT/bwa/minimap2/samtools subprocesses become
+        the built-in unitig assembler + this engine.
+        """
+        from megapath_tpu.index.fm import build_fm_index
+        from megapath_tpu.index.pack import pack_fasta
+        from megapath_tpu.io.sam import _mapq
+        from megapath_tpu.pipeline.assembly import assemble_unitigs
+
+        n = len(recs1)
+        keep = np.zeros(n, dtype=bool)
+        hits = self.target_engine.align_pairs(reads1, lens1, reads2, lens2)
+        for rstart, rend in regions:
+            rows = (hits.start < rend) & (hits.stop > rstart)
+            rids = np.unique(hits.read[rows])
+            if len(rids) == 0:
+                continue
+            seqs = [recs1[i].seq for i in rids] + [recs2[i].seq for i in rids]
+            contigs = assemble_unitigs(seqs, k=k, min_count=2, min_len=100)
+            # contigs that map back inside the region (seed check on
+            # the target index; contigs assemble from real reads, so
+            # exact seeds locate them)
+            region_contigs: List[str] = []
+            for cseq in contigs:
+                probe = cseq[: self.cfg.max_read_len]
+                codes, lens_ = pack_reads([probe], self.cfg.max_read_len)
+                sp = self.target_engine.seed_positions(codes, lens_)
+                if len(sp.pos) and (
+                    (sp.pos >= rstart - 200) & (sp.pos < rend + 200)
+                ).any():
+                    region_contigs.append(cseq)
+            if not region_contigs:
+                keep[rids] = True  # no credible assembly: retain region
+                continue
+            # reads -> contigs: mean MAPQ per contig
+            cref = pack_fasta(
+                [FastqRecord(f"ctg{i}", s, "", "") for i, s in enumerate(region_contigs)]
+            )
+            cfm = build_fm_index(cref.codes, sa_interval=8, lut_k=8)
+            ceng = AlignEngine(cref, cfm, AlignParams())
+            chits = ceng.align_pairs(
+                reads1[rids], lens1[rids], reads2[rids], lens2[rids]
+            )
+            passed: set = set()
+            for ci in range(len(region_contigs)):
+                m = chits.seq == ci
+                if not m.any():
+                    continue
+                mapqs = [ _mapq(int(s), 0) for s in chits.raw_score[m] ]
+                if np.mean(mapqs) >= mean_mapq_thres:
+                    passed.add(ci)
+            # retain reads aligned to passed contigs or unaligned to any
+            aligned_reads = set(int(r) for r in np.unique(chits.read))
+            for local_idx, rid in enumerate(rids):
+                m = chits.read == local_idx
+                if local_idx not in aligned_reads:
+                    keep[rid] = True
+                elif any(int(c) in passed for c in chits.seq[m]):
+                    keep[rid] = True
+        return keep
+
+    # ------------------------------------------------------------------
     def run_files(self, r1_path, r2_path, out_prefix: str) -> AmpliconResult:
         """File driver: FASTQ pair in, ``<prefix>.vcf`` + stats out,
         with a ``.done`` resume marker like the reference driver's

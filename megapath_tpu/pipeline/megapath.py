@@ -299,10 +299,26 @@ class MegaPathPipeline:
             sp = sk = np.zeros(0, np.int64)
             score = np.zeros(0, np.int64)
 
+        # per (end, read) best over ALL hits, unknown accessions
+        # included: taxLookupAcc passes the LSAM score column through
+        # even when no hit maps to a species (taxLookupAcc.cpp:62-92),
+        # and the -top retention compares against this best
+        best = np.zeros((2, n), dtype=np.int64)
+        if len(read):
+            np.maximum.at(
+                best, (end.astype(np.int64), read.astype(np.int64)), score
+            )
+
         known = sp >= 0
         read, end, sp, sk, score = (
             read[known], end[known], sp[known], sk[known], score[known]
         )
+        if len(read) == 0:
+            groups: Dict[Tuple[int, int], slice] = {}
+            return self._build_lsam_records(
+                recs1, recs2, spike_banned, n, best, groups,
+                read, end, sp, sk, score,
+            )
         # best per (end, read, species)
         order = np.lexsort((-score, sp, read, end))
         read, end, sp, sk, score = (
@@ -315,9 +331,7 @@ class MegaPathPipeline:
         read, end, sp, sk, score = (
             read[first], end[first], sp[first], sk[first], score[first]
         )
-        # per (end, read) best for thresholding
-        best = np.zeros((2, n), dtype=np.int64)
-        np.maximum.at(best, (end.astype(np.int64), read.astype(np.int64)), score)
+        # -top retention against the all-hits best computed above
         keep = score >= best[end.astype(np.int64), read.astype(np.int64)] * top
         read, end, sp, sk, score = (
             read[keep], end[keep], sp[keep], sk[keep], score[keep]
@@ -335,7 +349,16 @@ class MegaPathPipeline:
         for gi, b in enumerate(bounds):
             e_ = bounds[gi + 1] if gi + 1 < len(bounds) else len(read)
             groups[(int(read[b]), int(end[b]))] = slice(b, e_)
+        return self._build_lsam_records(
+            recs1, recs2, spike_banned, n, best, groups,
+            read, end, sp, sk, score,
+        )
 
+    def _build_lsam_records(
+        self, recs1, recs2, spike_banned, n, best, groups,
+        read, end, sp, sk, score,
+    ) -> List[LsamRecord]:
+        db = self.taxdb
         out: List[LsamRecord] = []
         for i in range(n):
             if i in spike_banned:

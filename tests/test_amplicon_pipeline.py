@@ -104,3 +104,28 @@ def test_amplicon_run_files(amp_world, tmp_path):
     # rerun skips (resume marker)
     res2 = pipe.run_files(str(p1), str(p2), str(tmp_path / "amp"))
     assert res2.n_input == 0
+
+
+def test_assembly_filter_retains_region_reads(amp_world):
+    from megapath_tpu.index.pack import pack_reads
+
+    tb_pack = amp_world[0]
+    tb = amp_world[2]
+    rng = np.random.default_rng(12)
+    pipe = AmpliconPipeline(target=tb_pack, config=AmpliconConfig())
+    # 30 pairs concentrated in region [1000, 2500)
+    r1, r2 = [], []
+    qual = "I" * 100
+    for i in range(30):
+        p = int(rng.integers(1000, 2500 - 300))
+        a = tb[p : p + 100]
+        b = COMPLEMENT[tb[p + 200 : p + 300][::-1]]
+        r1.append(FastqRecord(f"p{i}", decode_seq(a), qual))
+        r2.append(FastqRecord(f"p{i}", decode_seq(b), qual))
+    reads1, lens1 = pack_reads([r.seq for r in r1], 512)
+    reads2, lens2 = pack_reads([r.seq for r in r2], 512)
+    keep = pipe.assembly_filter(
+        r1, r2, reads1, lens1, reads2, lens2, regions=[(1000, 2500)]
+    )
+    # dense coverage assembles a credible contig; region reads retained
+    assert keep.sum() >= 25
