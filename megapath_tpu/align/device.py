@@ -88,11 +88,27 @@ def align_with_starts(
     the forward optimum, whose end cell is the alignment start — no
     backtrack table needed, and nothing round-trips to the host.
     """
+    from megapath_tpu.ops.dp import _on_tpu
+
     C, L = reads.shape
     wins = gather_windows(ref_codes, win_starts, width)
     wlens = jnp.full(C, width, dtype=jnp.int32)
-    fwd = sw_align_auto(reads, wins, read_lens, wlens, params=params)
 
+    if _on_tpu() and C % 128 == 0:
+        from megapath_tpu.ops.dp_pallas import sw_align_full_pallas
+
+        full = sw_align_full_pallas(
+            reads, wins, read_lens, wlens, params=params, block_b=128
+        )
+        return FullAlignOut(
+            score=full.score,
+            start_ref=full.start_ref,
+            end_ref=full.end_ref,
+            end_read=full.end_read,
+            start_read=full.start_read,
+        )
+
+    fwd = sw_align_auto(reads, wins, read_lens, wlens, params=params)
     # reversed prefixes: read[:end_read][::-1], window[:end_ref][::-1]
     jj = jnp.arange(L, dtype=jnp.int32)[None, :]
     rsrc = fwd.end_read[:, None] - 1 - jj
