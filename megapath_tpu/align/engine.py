@@ -134,11 +134,10 @@ def _batched_dp(
     dp = DPParams(params.match, params.mismatch, params.gap_open, params.gap_extend)
     res = sw_align(reads, windows, read_lens.astype(np.int32),
                    win_lens.astype(np.int32), params=dp)
-    return (
-        np.asarray(res.score)[:n],
-        np.asarray(res.end_ref)[:n],
-        np.asarray(res.end_read)[:n],
-    )
+    import jax
+
+    score, e_ref, e_read = jax.device_get((res.score, res.end_ref, res.end_read))
+    return (score[:n], e_ref[:n], e_read[:n])
 
 
 def _exact_starts(
@@ -194,6 +193,7 @@ class AlignEngine:
         self.params = params
         self.dfm = None
         self._ref_dev = None
+        self.seed_segment_threshold: Optional[int] = None  # see _device_seeds
         if device_seeding:
             from megapath_tpu.align.seeding_jax import DeviceFM
 
@@ -215,9 +215,22 @@ class AlignEngine:
         )
 
     def _device_seeds(self, reads: np.ndarray, lens: np.ndarray):
-        """Device MMP over [reads; revcomp] (walkers built on device)."""
-        from megapath_tpu.align.seeding_jax import device_mmp_seed_pairs
+        """Device MMP over [reads; revcomp] (walkers built on device).
+
+        Runs in two segments with straggler compaction: most walkers
+        retire within ~1.3L steps, but revcomp/junk walkers grind to
+        the 3L+64 limit — after segment 1 the still-active rows gather
+        into a smaller batch that runs the remainder, cutting the
+        lockstep loop's per-step cost roughly in half.
+        """
+        import jax.numpy as jnp
+
         from megapath_tpu.align.seeding import Seeds
+        from megapath_tpu.align.seeding_jax import (
+            build_walkers,
+            compact_walk,
+            device_mmp_seed,
+        )
 
         N, L = reads.shape
         # finer padding than the DP buckets: the seeding loop's cost is
@@ -232,17 +245,60 @@ class AlignEngine:
         # each emitted seed advances the cursor >= seed_min_length - 1
         # chars, so L/16+2 slots bound the per-walker seed count
         max_seeds = int(min(16, max(4, L // 16 + 2)))
-        out = device_mmp_seed_pairs(
-            self.dfm, reads, lens.astype(np.int32), self.params.mmp,
-            max_seeds=max_seeds,
+        mmp = self.params.mmp
+        limit = 3 * L + 64
+        # Straggler segmentation (compact still-active walkers after
+        # ~1.4L steps and resume on the smaller batch) is implemented
+        # and tested, but DISABLED by default: on the axon-tunneled
+        # v5e the extra dispatches + host syncs cost more than the
+        # saved loop steps (964 ms vs 430 ms on the bench batch).
+        # Flip seed_segment_threshold for direct-attached hardware.
+        segmented = (
+            self.seed_segment_threshold is not None
+            and Nb > self.seed_segment_threshold
         )
-        # walker w of the un-padded batch: fwd rows [0,N), rc rows
-        # [Nb, Nb+N) map back to [N, 2N)
-        n_seeds = np.asarray(out.n_seeds).astype(np.int32)
-        off = np.asarray(out.offset).astype(np.int32)
-        lng = np.asarray(out.length).astype(np.int32)
-        slo = np.asarray(out.sa_lo)
-        scnt = np.asarray(out.sa_count).astype(np.int32)
+        seg1 = min(int(1.4 * L), limit) if segmented else limit
+
+        walkers, wlens = build_walkers(
+            jnp.asarray(reads), jnp.asarray(lens.astype(np.int32))
+        )
+        out, st = device_mmp_seed(
+            self.dfm, walkers, wlens, mmp, max_seeds=max_seeds,
+            max_steps=seg1, finalize=not segmented,
+        )
+        import jax
+
+        # one batched device_get instead of five sequential pulls —
+        # each host sync pays a full tunnel round trip
+        n_seeds, off, lng, slo, scnt = jax.device_get(
+            (out.n_seeds, out.offset, out.length, out.sa_lo, out.sa_count)
+        )
+        n_seeds = n_seeds.astype(np.int32)
+        off = off.astype(np.int32)
+        lng = lng.astype(np.int32)
+        slo = np.array(slo)  # writable: segment 2 scatters back
+        scnt = scnt.astype(np.int32)
+
+        n_act = int(np.asarray(st.active).sum()) if segmented else 0
+        if n_act:
+            act = np.asarray(st.active)
+            idx = np.flatnonzero(act).astype(np.int32)
+            Nc = max(_round_up(n_act, 2048), 2048)
+            idx_p = np.concatenate([idx, np.zeros(Nc - n_act, np.int32)])
+            cw, cl, cst = compact_walk(
+                walkers, wlens, st, jnp.asarray(idx_p), jnp.int32(n_act)
+            )
+            out2, _ = device_mmp_seed(
+                self.dfm, cw, cl, mmp, max_seeds=max_seeds,
+                max_steps=limit - seg1, state=cst, finalize=True,
+            )
+            # segment-2 buffers carry segment-1 seeds for those rows:
+            # replace wholesale
+            n_seeds[idx] = np.asarray(out2.n_seeds).astype(np.int32)[:n_act]
+            off[idx] = np.asarray(out2.offset).astype(np.int32)[:n_act]
+            lng[idx] = np.asarray(out2.length).astype(np.int32)[:n_act]
+            slo[idx] = np.asarray(out2.sa_lo)[:n_act]
+            scnt[idx] = np.asarray(out2.sa_count).astype(np.int32)[:n_act]
         sel = np.r_[np.arange(N), Nb + np.arange(N)]
         n_seeds, off, lng, slo, scnt = (
             n_seeds[sel], off[sel], lng[sel], slo[sel], scnt[sel]
@@ -294,10 +350,15 @@ class AlignEngine:
             width,
             params=dp,
         )
+        import jax
+
+        score, st_ref, e_ref = jax.device_get(
+            (out.score, out.start_ref, out.end_ref)
+        )
         return (
-            np.asarray(out.score)[:n].astype(np.int64),
-            np.asarray(out.start_ref)[:n].astype(np.int64),
-            np.asarray(out.end_ref)[:n].astype(np.int64),
+            score[:n].astype(np.int64),
+            st_ref[:n].astype(np.int64),
+            e_ref[:n].astype(np.int64),
         )
 
     def _device_locate(self, rows: np.ndarray) -> np.ndarray:

@@ -178,6 +178,55 @@ class DeviceSeeds(NamedTuple):
     n_seeds: jnp.ndarray  # uint8 [W]
 
 
+class SeedWalkState(NamedTuple):
+    """Resumable MMP walk state (per walker), enabling segmented runs
+    with straggler compaction between segments: most walkers finish in
+    ~L steps, but revcomp/junk walkers run to the step limit — chunk
+    the loop, compact the still-active rows, and continue on the
+    smaller batch."""
+
+    i: jnp.ndarray
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+    seed_len: jnp.ndarray
+    last_lo: jnp.ndarray
+    last_hi: jnp.ndarray
+    last_len: jnp.ndarray
+    active: jnp.ndarray
+    out_meta: jnp.ndarray
+    out_lo: jnp.ndarray
+    n_seeds: jnp.ndarray
+
+
+@jax.jit
+def build_walkers(reads: jnp.ndarray, lens: jnp.ndarray):
+    """[reads; revcomp(reads)] walker matrix on device."""
+    N, L = reads.shape
+    lens = lens.astype(jnp.int32)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lens[:, None] - 1 - j
+    ok = src >= 0
+    rc = jnp.where(
+        ok,
+        3 - jnp.take_along_axis(
+            reads.astype(jnp.int32), jnp.clip(src, 0, L - 1), axis=1
+        ),
+        0,
+    ).astype(jnp.uint8)
+    return jnp.concatenate([reads, rc], axis=0), jnp.concatenate([lens, lens])
+
+
+@jax.jit
+def compact_walk(walkers, lens, state: SeedWalkState, idx, n_valid):
+    """Gather still-active rows (idx padded; rows >= n_valid masked
+    inactive) for the next walk segment."""
+    take = lambda a: jnp.take(a, idx, axis=0)
+    mask = jnp.arange(idx.shape[0], dtype=jnp.int32) < n_valid
+    st = SeedWalkState(*[take(f) for f in state])
+    st = st._replace(active=st.active & mask)
+    return take(walkers), take(lens), st
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "max_seeds", "max_steps")
 )
@@ -203,11 +252,13 @@ def device_mmp_seed_pairs(
     ).astype(jnp.uint8)
     walkers = jnp.concatenate([reads, rc], axis=0)
     wlens = jnp.concatenate([lens, lens])
-    return device_mmp_seed(dfm, walkers, wlens, params, max_seeds, max_steps)
+    seeds, _ = device_mmp_seed(dfm, walkers, wlens, params, max_seeds, max_steps)
+    return seeds
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "max_seeds", "max_steps")
+    jax.jit,
+    static_argnames=("params", "max_seeds", "max_steps", "finalize"),
 )
 def device_mmp_seed(
     dfm: DeviceFM,
@@ -216,7 +267,9 @@ def device_mmp_seed(
     params: MmpParams,
     max_seeds: int = 16,
     max_steps: int | None = None,
-) -> DeviceSeeds:
+    state: SeedWalkState | None = None,
+    finalize: bool = True,
+):
     Wn, L = walkers.shape
     k = dfm.lut_k
     n_rows = dfm.n + 1
@@ -248,20 +301,23 @@ def device_mmp_seed(
         n_seeds: jnp.ndarray
         step: jnp.ndarray
 
-    init = S(
-        i=jnp.zeros(Wn, jnp.int32),
-        lo=jnp.zeros(Wn, jnp.int32),
-        hi=jnp.full(Wn, n_rows, jnp.int32),
-        seed_len=jnp.zeros(Wn, jnp.int32),
-        last_lo=jnp.zeros(Wn, jnp.int32),
-        last_hi=jnp.full(Wn, n_rows, jnp.int32),
-        last_len=jnp.zeros(Wn, jnp.int32),
-        active=lens >= params.seed_min_length,
-        out_meta=jnp.zeros((Wn, max_seeds), jnp.int32),
-        out_lo=jnp.zeros((Wn, max_seeds), jnp.int32),
-        n_seeds=jnp.zeros(Wn, jnp.int32),
-        step=jnp.int32(0),
-    )
+    if state is None:
+        init = S(
+            i=jnp.zeros(Wn, jnp.int32),
+            lo=jnp.zeros(Wn, jnp.int32),
+            hi=jnp.full(Wn, n_rows, jnp.int32),
+            seed_len=jnp.zeros(Wn, jnp.int32),
+            last_lo=jnp.zeros(Wn, jnp.int32),
+            last_hi=jnp.full(Wn, n_rows, jnp.int32),
+            last_len=jnp.zeros(Wn, jnp.int32),
+            active=lens >= params.seed_min_length,
+            out_meta=jnp.zeros((Wn, max_seeds), jnp.int32),
+            out_lo=jnp.zeros((Wn, max_seeds), jnp.int32),
+            n_seeds=jnp.zeros(Wn, jnp.int32),
+            step=jnp.int32(0),
+        )
+    else:
+        init = S(*state, step=jnp.int32(0))
     limit = max_steps if max_steps is not None else int(3 * L + 64)
 
     min_len = jnp.int32(params.seed_min_length)
@@ -452,19 +508,26 @@ def device_mmp_seed(
         return jnp.any(s.active) & (s.step < limit)
 
     final = jax.lax.while_loop(cond, body, init)
-    # walkers that ran out of the loop with a live seed
-    live = final.active & (final.seed_len > 0) & (final.i >= lens)
-    final = emit(final, live, at_end=True)
+    if finalize:
+        # walkers that ran out of the loop with a live seed
+        live = final.active & (final.seed_len > 0) & (final.i >= lens)
+        final = emit(final, live, at_end=True)
     # compact dtypes before the host pull
     small = jnp.uint8 if L < 256 else jnp.int16
     csmall = jnp.uint8 if params.sa_size_threshold + 1 < 256 else jnp.int16
-    return DeviceSeeds(
+    seeds = DeviceSeeds(
         offset=(final.out_meta >> 20).astype(small),
         length=((final.out_meta >> 10) & 1023).astype(small),
         sa_lo=final.out_lo,
         sa_count=(final.out_meta & 1023).astype(csmall),
         n_seeds=final.n_seeds.astype(jnp.uint8),
     )
+    out_state = SeedWalkState(
+        final.i, final.lo, final.hi, final.seed_len, final.last_lo,
+        final.last_hi, final.last_len, final.active, final.out_meta,
+        final.out_lo, final.n_seeds,
+    )
+    return seeds, out_state
 
 
 @functools.partial(jax.jit, static_argnames=("sa_interval",))

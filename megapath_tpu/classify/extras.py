@@ -20,8 +20,9 @@ def m8_to_lsam(lines: Iterable[str]) -> Iterator[LsamRecord]:
     """DIAMOND m8 rows -> LSAM records (one per query, merged hits).
 
     m8 columns: qseqid sseqid pident len mm go qs qe ss se evalue
-    bitscore; the reference variant carries 0x1-joined taxids in col 2
-    and takes the bitscore (col 12) as the score (m8_to_lsam.pl:20-45).
+    bitscore; the reference variant carries taxids joined by the
+    LITERAL text "0x1" in col 2 and takes the max bitscore (col 12) as
+    the score (m8_to_lsam.pl:20-45).
     """
     cur: Optional[str] = None
     hits: List[Tuple[float, str]] = []
@@ -43,37 +44,44 @@ def m8_to_lsam(lines: Iterable[str]) -> Iterator[LsamRecord]:
         if q != cur:
             yield from flush()
             cur = q
-        for tid in s.split("\x01"):
+        for tid in s.split("0x1"):
             hits.append((bit, tid))
     yield from flush()
 
 
 def r2c_to_r2g(
-    read2contig: Iterable[LsamRecord], contig2genome: Iterable[LsamRecord]
+    read2contig: Iterable[LsamRecord],
+    contig2genome: Iterable[LsamRecord],
+    threshold: float = 40.0,
 ) -> Iterator[LsamRecord]:
     """Transitive join: read->contig hits x contig->genome hits.
 
-    The read inherits each of its contigs' genome hits, keeping the
-    read's own alignment score (r2c_to_r2g.pl:30-70 semantics: score of
-    the read-to-contig alignment, max per genome target).
+    Byte-faithful to r2c_to_r2g.pl: contig records named
+    ``contig_<id>`` register their RAW hit-label string under ``<id>``;
+    each read's contig hits with read-side score > threshold append the
+    contig's whole label string; seq/qual become ``*`` and read opts
+    pass through. Reads tagged IGNORE are dropped entirely.
     """
-    c2g: Dict[str, List[Tuple[float, str]]] = defaultdict(list)
+    c2g: Dict[str, str] = {}
     for rec in contig2genome:
-        c2g[rec.name].extend(rec.hits)
+        if rec.name.startswith("contig_") and len(rec.name) > 7:
+            c2g[rec.name[7:]] = rec.hits_str()
 
     for rec in read2contig:
-        merged: Dict[str, float] = {}
-        for score, contig in rec.hits:
-            for _, genome in c2g.get(contig, []):
-                if score > merged.get(genome, 0):
-                    merged[genome] = score
+        if "IGNORE" in rec.opts:
+            continue
+        labels = [
+            c2g[ctg]
+            for score, ctg in rec.hits
+            if score > threshold and ctg in c2g
+        ]
         yield LsamRecord(
             name=rec.name,
             flag=rec.flag,
             score=rec.score,
-            seq=rec.seq,
-            qual=rec.qual,
-            hits=sorted(((s, g) for g, s in merged.items()), key=lambda x: x[1]),
+            seq="*",
+            qual="*",
+            hits=parse_hits(";".join(labels)) if labels else [],
             opts=rec.opts,
         )
 

@@ -61,7 +61,7 @@ def test_extract_fractional_threshold(tmp_path, capsys, monkeypatch):
 def test_m8_to_lsam(tmp_path, capsys, monkeypatch):
     p = tmp_path / "a.m8"
     p.write_text(
-        "q1\ts1\x01s2\t99\t100\t0\t0\t1\t100\t5\t105\t1e-30\t200\n"
+        "q1\ts10x1s2\t99\t100\t0\t0\t1\t100\t5\t105\t1e-30\t200\n"
     )
     rc, out = run_cli(["m8-to-lsam", str(p)], capsys=capsys)
     assert out.strip() == "q1\t0\t200\t*\t*\t200,s1;200,s2"
@@ -88,12 +88,18 @@ def test_lsam_read_filter(tmp_path, capsys, monkeypatch):
 
 
 def test_r2c_to_r2g(tmp_path, capsys, monkeypatch):
+    # byte-verified against /root/reference/r2c_to_r2g.pl: contig names
+    # must match ^contig_(id); the read inherits the contig's raw hit
+    # labels when its read->contig score passes the threshold
     r2c = tmp_path / "r2c.lsam"
-    r2c.write_text("read1\t64\t30\t*\t*\t30,ctg1\n")
+    r2c.write_text("read1\t64\t30\t*\t*\t50,12;25,13\n")
     c2g = tmp_path / "c2g.lsam"
-    c2g.write_text("ctg1\t0\t99\t*\t*\t99,9606\n")
+    c2g.write_text(
+        "contig_12\t0\t99\t*\t*\t99,9606;80,562\n"
+        "contig_13\t0\t70\t*\t*\t70,562\n"
+    )
     rc, out = run_cli(["r2c-to-r2g", str(r2c), str(c2g)], capsys=capsys)
-    assert out.strip() == "read1\t64\t30\t*\t*\t30,9606"
+    assert out.strip() == "read1\t64\t30\t*\t*\t99,9606;80,562"
 
 
 def test_sam2cfq(tmp_path, capsys, monkeypatch):

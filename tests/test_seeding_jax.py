@@ -61,7 +61,7 @@ def test_device_matches_host(world, lut):
     walkers, wlens = make_walkers_fast(reads, lens)
     want = _host_seed_table(walkers, wlens, fm, PARAMS)
 
-    out = device_mmp_seed(dfm, walkers, wlens, PARAMS)
+    out, _ = device_mmp_seed(dfm, walkers, wlens, PARAMS)
     n_seeds = np.asarray(out.n_seeds)
     off = np.asarray(out.offset)
     lng = np.asarray(out.length)
@@ -96,7 +96,7 @@ def test_variable_lengths(world):
         lens[b] = ln
     walkers, wlens = make_walkers_fast(reads, lens)
     want = _host_seed_table(walkers, wlens, fm, PARAMS)
-    out = device_mmp_seed(dfm, walkers, wlens, PARAMS)
+    out, _ = device_mmp_seed(dfm, walkers, wlens, PARAMS)
     n_seeds = np.asarray(out.n_seeds)
     off = np.asarray(out.offset)
     lng = np.asarray(out.length)
@@ -106,3 +106,62 @@ def test_variable_lengths(world):
             for j in range(int(n_seeds[w]))
         ]
         assert got == [(a, b) for a, b, _, _ in want.get(w, [])], f"walker {w}"
+
+
+def test_segmented_walk_matches_single_run(world):
+    """Segment + compact_walk + resume == one full-limit run."""
+    import jax.numpy as jnp
+
+    from megapath_tpu.align.seeding_jax import compact_walk
+
+    codes, fm, dfm = world
+    rng = np.random.default_rng(17)
+    n, L = 48, 64
+    walkers = np.zeros((n, L), np.uint8)
+    wlens = np.zeros(n, np.int32)
+    for i in range(n):
+        ln = int(rng.integers(30, L + 1))
+        if i % 3 == 0:  # junk walkers: stragglers
+            walkers[i, :ln] = rng.integers(0, 4, ln)
+        else:
+            p = int(rng.integers(0, len(codes) - ln))
+            walkers[i, :ln] = codes[p : p + ln]
+            for _ in range(int(rng.integers(0, 3))):
+                q = int(rng.integers(0, ln))
+                walkers[i, q] = (walkers[i, q] + 1 + rng.integers(0, 3)) % 4
+        wlens[i] = ln
+
+    full, _ = device_mmp_seed(dfm, walkers, wlens, PARAMS, max_seeds=8)
+
+    seg1 = 40
+    limit = 3 * L + 64
+    part, st = device_mmp_seed(
+        dfm, walkers, wlens, PARAMS, max_seeds=8, max_steps=seg1,
+        finalize=False,
+    )
+    n_seeds = np.array(part.n_seeds).astype(np.int32)
+    off = np.array(part.offset).astype(np.int32)
+    lng = np.array(part.length).astype(np.int32)
+    slo = np.array(part.sa_lo)
+    act = np.asarray(st.active)
+    assert act.any(), "test needs stragglers to exercise the resume"
+    idx = np.flatnonzero(act).astype(np.int32)
+    pad = 16 * ((len(idx) + 15) // 16)
+    idx_p = np.concatenate([idx, np.zeros(pad - len(idx), np.int32)])
+    cw, cl, cst = compact_walk(
+        jnp.asarray(walkers), jnp.asarray(wlens), st,
+        jnp.asarray(idx_p), jnp.int32(len(idx)),
+    )
+    part2, _ = device_mmp_seed(
+        dfm, cw, cl, PARAMS, max_seeds=8, max_steps=limit - seg1,
+        state=cst, finalize=True,
+    )
+    n_seeds[idx] = np.asarray(part2.n_seeds).astype(np.int32)[: len(idx)]
+    off[idx] = np.asarray(part2.offset).astype(np.int32)[: len(idx)]
+    lng[idx] = np.asarray(part2.length).astype(np.int32)[: len(idx)]
+    slo[idx] = np.asarray(part2.sa_lo)[: len(idx)]
+
+    np.testing.assert_array_equal(n_seeds, np.asarray(full.n_seeds))
+    np.testing.assert_array_equal(off, np.asarray(full.offset))
+    np.testing.assert_array_equal(lng, np.asarray(full.length))
+    np.testing.assert_array_equal(slo, np.asarray(full.sa_lo))
