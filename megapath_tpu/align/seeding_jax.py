@@ -558,3 +558,34 @@ def device_locate(dfm: DeviceFM, rowsv: jnp.ndarray, sa_interval: int) -> jnp.nd
         cur = jnp.where(todo, lf(cur), cur)
         steps = steps + todo.astype(jnp.int32)
     return pos
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def flatten_seeds(seeds: DeviceSeeds, cap: int):
+    """Compact the (W, S) seed slots into flat arrays on device.
+
+    The host pull shrinks from W*S slots (mostly empty) to ``cap``
+    rows; row-major nonzero order matches the host-side flatten.
+    Returns (n_valid, walker, offset, length, sa_lo, sa_count) —
+    callers must fall back to the 2-D pull when n_valid > cap.
+    """
+    Wn, S = seeds.offset.shape
+    cols = jnp.arange(S, dtype=jnp.int32)[None, :]
+    mask = cols < seeds.n_seeds[:, None].astype(jnp.int32)
+    n_valid = mask.sum()
+    ws, js = jnp.nonzero(mask, size=cap, fill_value=0)
+    idx = ws.astype(jnp.int32) * S + js.astype(jnp.int32)
+    valid = jnp.arange(cap) < n_valid
+
+    def take(a):
+        v = jnp.take(a.reshape(-1), idx)
+        return jnp.where(valid, v, 0)
+
+    return (
+        n_valid,
+        jnp.where(valid, ws.astype(jnp.int32), 0),
+        take(seeds.offset.astype(jnp.int32)),
+        take(seeds.length.astype(jnp.int32)),
+        take(seeds.sa_lo),
+        take(seeds.sa_count.astype(jnp.int32)),
+    )
