@@ -271,6 +271,15 @@ def device_mmp_seed(
     finalize: bool = True,
 ):
     Wn, L = walkers.shape
+    # seed metadata packs (off, len, cnt) into 12/10/10 bits of one
+    # int32 — fail loudly instead of silently corrupting seeds
+    if L > 1023:
+        raise ValueError(f"device seeding caps read length at 1023 (got {L})")
+    if params.sa_size_threshold + 1 > 1023:
+        raise ValueError(
+            f"sa_size_threshold {params.sa_size_threshold} overflows the "
+            "10-bit seed-count field (max 1022)"
+        )
     k = dfm.lut_k
     n_rows = dfm.n + 1
     lens = lens.astype(jnp.int32)

@@ -60,7 +60,9 @@ def r2c_to_r2g(
     ``contig_<id>`` register their RAW hit-label string under ``<id>``;
     each read's contig hits with read-side score > threshold append the
     contig's whole label string; seq/qual become ``*`` and read opts
-    pass through. Reads tagged IGNORE are dropped entirely.
+    pass through. Reads tagged IGNORE are dropped entirely. Unaligned
+    contigs (label ``*``) contribute nothing (the Perl would push the
+    literal ``*``, which no downstream consumer can parse).
     """
     c2g: Dict[str, str] = {}
     for rec in contig2genome:
@@ -73,7 +75,7 @@ def r2c_to_r2g(
         labels = [
             c2g[ctg]
             for score, ctg in rec.hits
-            if score > threshold and ctg in c2g
+            if score > threshold and ctg in c2g and c2g[ctg] != "*"
         ]
         yield LsamRecord(
             name=rec.name,

@@ -169,6 +169,8 @@ def _cmd_extract(args) -> int:
     recs = (
         parse_lsam_line(l) for l in _in(args.lsam_id) if l.strip()
     )
+    last_name = None  # -n prints each pair's name once (alreadyOutput
+    # flag in extractFromLSAM.pl), not once per selected end
     for rec, which, comment in extract_from_lsam(
         recs,
         threshold=args.threshold,
@@ -178,7 +180,9 @@ def _cmd_extract(args) -> int:
         skip_ignore_tag=args.skip_ignore,
     ):
         if args.names_only:
-            sys.stdout.write(rec.name + "\n")
+            if rec.name != last_name:
+                sys.stdout.write(rec.name + "\n")
+                last_name = rec.name
         else:
             _write_fastq(rec, sys.stdout, suffix=f"/{which}", comment=comment)
     return 0

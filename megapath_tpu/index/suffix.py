@@ -31,8 +31,14 @@ def suffix_array(codes: np.ndarray, native: bool = True) -> np.ndarray:
             sa = suffix_array_native(codes)
             if sa is not None:
                 return sa
-        except Exception:
-            pass
+        except Exception as e:  # pragma: no cover - depends on toolchain
+            import sys
+
+            print(
+                f"[suffix] native SA-IS builder unavailable ({e!r}); "
+                "falling back to numpy prefix doubling",
+                file=sys.stderr,
+            )
     return _suffix_array_doubling(codes)
 
 

@@ -37,7 +37,9 @@ class BgzfWriter:
     def _flush_block(self, chunk: bytes) -> None:
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         comp = co.compress(bytes(chunk)) + co.flush()
-        bsize = len(comp) + 25 + 1
+        # BSIZE = total block length MINUS 1 (SAM spec 4.1): 18-byte
+        # header + comp + 8-byte footer = len(comp)+26 total bytes.
+        bsize = len(comp) + 25
         header = (
             b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
             + struct.pack("<HBBHH", 6, 66, 67, 2, bsize)

@@ -48,9 +48,12 @@ def extract_viral_and_unmapped(
     out1, out2 = [], []
     for a, b in zip(recs1, recs2):
         recs = by_name.get(a.name, [])
-        if len(recs) < 2:
+        # select ends by flag (0x40 first / 0x80 second), not dict
+        # insertion order — duplicate or odd records must not mispair
+        r1 = next((r for r in recs if r.flag & 0x40), None)
+        r2 = next((r for r in recs if r.flag & 0x80), None)
+        if r1 is None or r2 is None:
             continue
-        r1, r2 = recs[0], recs[1]
         pair_len = len(a.seq) + len(b.seq)
         cut = threshold * pair_len if threshold < 1 else threshold
         viral = "Viruses" in r1.opts or "Viruses" in r2.opts

@@ -30,6 +30,65 @@ def test_bgzf_is_valid_gzip():
     assert bgzf_decompress(buf.getvalue()) == payload
 
 
+def test_bgzf_block_walker():
+    """Advance block-by-block via BSIZE+1 the way htslib does.
+
+    BSIZE is total block size MINUS 1 (SAM spec 4.1); a walker that
+    reads exactly BSIZE+1 bytes per block must land on each following
+    block's gzip magic and decompress every payload."""
+    import struct
+    import zlib
+
+    buf = io.BytesIO()
+    w = BgzfWriter(buf)
+    payload = bytes(range(256)) * 2000  # spans several 64 KB blocks
+    w.write(payload)
+    w.close()
+    data = buf.getvalue()
+    pos = 0
+    out = bytearray()
+    nblocks = 0
+    while pos < len(data):
+        assert data[pos : pos + 4] == b"\x1f\x8b\x08\x04", f"block {nblocks}"
+        xlen = struct.unpack("<H", data[pos + 10 : pos + 12])[0]
+        # scan the extra subfields for BC
+        ext = data[pos + 12 : pos + 12 + xlen]
+        bsize = None
+        i = 0
+        while i < len(ext):
+            si1, si2, slen = ext[i], ext[i + 1], struct.unpack("<H", ext[i + 2 : i + 4])[0]
+            if (si1, si2) == (66, 67):
+                bsize = struct.unpack("<H", ext[i + 4 : i + 6])[0]
+            i += 4 + slen
+        assert bsize is not None
+        block = data[pos : pos + bsize + 1]
+        comp = block[12 + xlen : -8]
+        crc, isize = struct.unpack("<II", block[-8:])
+        chunk = zlib.decompress(comp, -15)
+        assert len(chunk) == isize and zlib.crc32(chunk) == crc
+        out += chunk
+        pos += bsize + 1
+        nblocks += 1
+    assert bytes(out) == payload
+    assert nblocks >= 8  # multiple data blocks + EOF
+
+
+def test_bam_readable_by_pysam(tmp_path):
+    """External-tool check when pysam is available (optional)."""
+    try:
+        import pysam  # type: ignore
+    except ImportError:
+        import pytest
+
+        pytest.skip("pysam not installed")
+    path = tmp_path / "t.bam"
+    with open(path, "wb") as f:
+        write_bam(f, HEADER, LINES)
+    with pysam.AlignmentFile(str(path), "rb", check_sq=False) as bf:
+        got = [a.query_name for a in bf.fetch(until_eof=True)]
+    assert got == ["r1", "r1", "r2", "r3"]
+
+
 def test_bam_roundtrip():
     buf = io.BytesIO()
     write_bam(buf, HEADER, LINES)

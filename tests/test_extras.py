@@ -62,6 +62,18 @@ def test_r2c_to_r2g():
     assert out[0].seq == "*" and out[0].qual == "*"
 
 
+def test_r2c_to_r2g_unaligned_contig():
+    # an unaligned contig (hits '*') must not crash the join and must
+    # contribute no genome hits (r2c_to_r2g.pl stores the raw label)
+    r2c = [LsamRecord("read1", 0, 90, hits=[(90.0, "1"), (85.0, "2")])]
+    c2g = [
+        LsamRecord("contig_1", 0, 0, hits=[]),  # '*' label
+        LsamRecord("contig_2", 0, 500, hits=[(500.0, "NC_9")]),
+    ]
+    out = list(r2c_to_r2g(iter(r2c), iter(c2g)))
+    assert out[0].hits == [(500.0, "NC_9")]
+
+
 def test_cleanup_contaminants():
     # species 562 always co-occurs with human at similar score -> removed
     recs = []
