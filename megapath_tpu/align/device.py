@@ -73,7 +73,6 @@ class FullAlignOut(NamedTuple):
     start_read: jnp.ndarray  # int32 [C]
 
 
-@functools.partial(jax.jit, static_argnames=("width", "params"))
 def align_with_starts(
     ref_codes: jnp.ndarray,  # uint8 [N] device-resident shard text
     reads: jnp.ndarray,  # uint8 [C, L]
@@ -81,18 +80,41 @@ def align_with_starts(
     win_starts: jnp.ndarray,  # int32 [C]
     width: int,
     params: DPParams = DPParams(),
+    win_lens: jnp.ndarray | None = None,  # int32 [C] effective lengths
 ) -> FullAlignOut:
     """Window gather + forward DP + reverse DP, one compiled program.
 
-    The reverse pass aligns the reversed read/window prefixes ending at
-    the forward optimum, whose end cell is the alignment start — no
-    backtrack table needed, and nothing round-trips to the host.
+    ``win_lens`` bounds each row's usable window (soap4 clips the DNA
+    window length per candidate, e.g. to leftHit + insert_high for the
+    right pair leg, DV-DPfunctions.cpp:2954-2959); cells past it are
+    excluded from the DP. Defaults to the full ``width``.
     """
+    if win_lens is None:
+        win_lens = jnp.full(reads.shape[0], width, dtype=jnp.int32)
+    return _align_with_starts(
+        ref_codes, reads, read_lens, win_starts,
+        jnp.asarray(win_lens, jnp.int32), width, params
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "params"))
+def _align_with_starts(
+    ref_codes: jnp.ndarray,
+    reads: jnp.ndarray,
+    read_lens: jnp.ndarray,
+    win_starts: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    width: int,
+    params: DPParams = DPParams(),
+) -> FullAlignOut:
+    """The reverse pass aligns the reversed read/window prefixes ending
+    at the forward optimum, whose end cell is the alignment start — no
+    backtrack table needed, and nothing round-trips to the host."""
     from megapath_tpu.ops.dp import _on_tpu
 
     C, L = reads.shape
     wins = gather_windows(ref_codes, win_starts, width)
-    wlens = jnp.full(C, width, dtype=jnp.int32)
+    wlens = win_lens
 
     if _on_tpu() and C % 128 == 0:
         from megapath_tpu.ops.dp_pallas import sw_align_full_pallas

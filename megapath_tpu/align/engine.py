@@ -66,6 +66,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _concat_sp(parts: List[SeedPositions]) -> SeedPositions:
+    parts = [p for p in parts if len(p.read)]
+    if not parts:
+        z = np.zeros(0)
+        return SeedPositions(
+            z.astype(np.int32), z.astype(np.int8), z.astype(np.int64),
+            z.astype(np.int32),
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return SeedPositions(
+        *[np.concatenate([getattr(p, f) for p in parts])
+          for f in ("read", "strand", "pos", "coverage")]
+    )
+
+
 def extract_windows(
     codes: np.ndarray, starts: np.ndarray, width: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -201,20 +217,24 @@ class AlignEngine:
 
     # ------------------------------------------------------------------
     def seed_positions(
-        self, reads: np.ndarray, lens: np.ndarray
+        self, reads: np.ndarray, lens: np.ndarray, mmp=None
     ) -> SeedPositions:
+        """``mmp`` overrides the seeding parameters for one call (deep-DP
+        rounds past the first re-seed with their own MmpParams,
+        alignment.cpp:91-137 / IniParam.cpp seedingProperties)."""
+        mmp = mmp or self.params.mmp
         if self.dfm is not None:
-            seeds = self._device_seeds(reads, lens)
+            seeds = self._device_seeds(reads, lens, mmp)
             locate = self._device_locate
         else:
             walkers, wlens = make_walkers_fast(reads, lens)
-            seeds = mmp_seed(walkers, wlens, self.fm, self.params.mmp)
+            seeds = mmp_seed(walkers, wlens, self.fm, mmp)
             locate = None
         return decode_seeds(
-            seeds, self.fm, lens, len(reads), self.params.mmp, locate_fn=locate
+            seeds, self.fm, lens, len(reads), mmp, locate_fn=locate
         )
 
-    def _device_seeds(self, reads: np.ndarray, lens: np.ndarray):
+    def _device_seeds(self, reads: np.ndarray, lens: np.ndarray, mmp=None):
         """Device MMP over [reads; revcomp] (walkers built on device).
 
         Runs in two segments with straggler compaction: most walkers
@@ -245,7 +265,7 @@ class AlignEngine:
         # each emitted seed advances the cursor >= seed_min_length - 1
         # chars, so L/16+2 slots bound the per-walker seed count
         max_seeds = int(min(16, max(4, L // 16 + 2)))
-        mmp = self.params.mmp
+        mmp = mmp or self.params.mmp
         limit = 3 * L + 64
         # Straggler segmentation (compact still-active walkers after
         # ~1.4L steps and resume on the smaller batch) is implemented
@@ -320,9 +340,15 @@ class AlignEngine:
         lens: np.ndarray,
         win_starts: np.ndarray,
         width: int,
+        win_lens: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fused gather + forward DP + reverse (start-finding) DP on
-        device; returns numpy (score, start_ref, end_ref)."""
+        device; returns numpy (score, start_ref, end_ref).
+
+        ``win_lens`` bounds each row's usable window (soap4 clips the
+        candidate's DNA window length, DV-DPfunctions.cpp:2876-2881,
+        2954-2959); defaults to the full ``width``.
+        """
         from megapath_tpu.align.device import align_with_starts
         from megapath_tpu.ops.dp import DPParams
 
@@ -331,6 +357,8 @@ class AlignEngine:
 
             self._ref_dev = jnp.asarray(self.ref.codes)
         n = reads.shape[0]
+        if win_lens is None:
+            win_lens = np.full(n, width, dtype=np.int32)
         nb = _bucket(n)
         if nb != n:
             reads = np.concatenate(
@@ -339,6 +367,9 @@ class AlignEngine:
             lens = np.concatenate([lens, np.zeros(nb - n, lens.dtype)])
             win_starts = np.concatenate(
                 [win_starts, np.zeros(nb - n, win_starts.dtype)]
+            )
+            win_lens = np.concatenate(
+                [win_lens, np.zeros(nb - n, win_lens.dtype)]
             )
         p = self.params
         dp = DPParams(p.match, p.mismatch, p.gap_open, p.gap_extend)
@@ -349,6 +380,7 @@ class AlignEngine:
             win_starts.astype(np.int32),
             width,
             params=dp,
+            win_lens=np.clip(win_lens, 0, width).astype(np.int32),
         )
         import jax
 
@@ -387,27 +419,53 @@ class AlignEngine:
         allr[n:, : reads2.shape[1]] = reads2
         all_lens = np.concatenate([lens1, lens2]).astype(np.int32)
 
-        sp = self.seed_positions(allr, all_lens)
-        m1 = sp.read < n
-        sp1 = SeedPositions(sp.read[m1], sp.strand[m1], sp.pos[m1], sp.coverage[m1])
-        m2 = ~m1
-        sp2 = SeedPositions(
-            (sp.read[m2] - n).astype(np.int32), sp.strand[m2], sp.pos[m2], sp.coverage[m2]
-        )
+        # deep-DP rounds (alignment.cpp:91-137): round r re-seeds only
+        # the still-unaligned pairs with that round's MmpParams. Seeds
+        # accumulate across rounds for the single-end stage, mirroring
+        # the reference SeedPool reuse (SeedPool.h:80-127).
+        hits_parts: List[BatchHits] = []
+        sp1_parts: List[SeedPositions] = []
+        sp2_parts: List[SeedPositions] = []
+        todo = np.arange(n)
+        for mmp in params.seeding_rounds:
+            if len(todo) == 0:
+                break
+            t = len(todo)
+            if t == n:
+                sub_reads, sub_lens = allr, all_lens
+            else:
+                sel = np.concatenate([todo, todo + n])
+                sub_reads, sub_lens = allr[sel], all_lens[sel]
+            sp = self.seed_positions(sub_reads, sub_lens, mmp)
+            m1 = sp.read < t
+            sp1 = SeedPositions(
+                todo[sp.read[m1]].astype(np.int32),
+                sp.strand[m1], sp.pos[m1], sp.coverage[m1],
+            )
+            m2 = ~m1
+            sp2 = SeedPositions(
+                todo[sp.read[m2] - t].astype(np.int32),
+                sp.strand[m2], sp.pos[m2], sp.coverage[m2],
+            )
+            sp1_parts.append(sp1)
+            sp2_parts.append(sp2)
 
-        cands = pair_candidates(sp1, sp2, lens1, lens2, params)
-        paired_hits, aligned_pairs = self._deep_dp(
-            cands, allr, all_lens, n
-        )
+            cands = pair_candidates(sp1, sp2, lens1, lens2, params)
+            paired_hits, aligned_pairs = self._deep_dp(
+                cands, allr, all_lens, n
+            )
+            hits_parts.append(paired_hits)
+            todo = np.setdiff1d(todo, aligned_pairs)
 
         # leftover pairs -> single-end DP + mate rescue + unpaired
-        todo = np.setdiff1d(np.arange(n), aligned_pairs)
-        single_hits = BatchHits.empty()
         if len(todo):
-            single_hits = self._single_and_rescue(
-                todo, sp1, sp2, allr, all_lens, n
+            hits_parts.append(
+                self._single_and_rescue(
+                    todo, _concat_sp(sp1_parts), _concat_sp(sp2_parts),
+                    allr, all_lens, n,
+                )
             )
-        return BatchHits.concat([paired_hits, single_hits])
+        return BatchHits.concat(hits_parts)
 
     # ------------------------------------------------------------------
     def _deep_dp(
@@ -433,35 +491,50 @@ class AlignEngine:
         Lmax = int(all_lens.max(initial=1))
         Wwin = _round_up(Lmax + 2 * 30 + 2, 64)
 
-        left_reads = allr[left_read_idx]
-        right_reads = _revcomp_rows(allr[right_read_idx], lR)
-
-        reads_b = np.concatenate([left_reads, right_reads])
-        lens_b = np.concatenate([lL, lR]).astype(np.int32)
-        starts_b = np.concatenate(
-            [cands.left_pos - margin_l, cands.right_pos - margin_r]
+        # left legs first (packLeft: window = readLen + 2*margin at
+        # pos - margin, DV-DPfunctions.cpp:2869-2881)
+        starts_l = cands.left_pos - margin_l
+        s1, st_l, e_l = self._device_align(
+            allr[left_read_idx], lL.astype(np.int32), starts_l, Wwin,
+            win_lens=(lL + 2 * margin_l).astype(np.int32),
         )
-        score, st_ref_all, e_ref_all = self._device_align(
-            reads_b, lens_b, starts_b, Wwin
-        )
-
-        s1, s2 = score[:C], score[C:]
         thr_l = np.maximum((params.cutoff_ratio * lL).astype(np.int64),
                            params.cutoff_lower_bound)
-        thr_r = np.maximum((params.cutoff_ratio * lR).astype(np.int64),
-                           params.cutoff_lower_bound)
-        keep = (s1 >= thr_l) & (s2 >= thr_r)
-        kidx = np.flatnonzero(keep)
-        if len(kidx) == 0:
+        kidx0 = np.flatnonzero(s1 >= thr_l)
+        if len(kidx0) == 0:
             return BatchHits.empty(), np.zeros(0, dtype=np.int64)
 
-        both = np.concatenate([kidx, kidx + C])
-        sr = score[both]
-        win_start = starts_b[both]
-        g_start = win_start + st_ref_all[both]
-        g_stop = win_start + e_ref_all[both]
-
+        # right legs only where the left passed (packRight runs per
+        # left-passing row only, DV-DPfunctions.cpp:2933), with the
+        # window clipped so the right end cannot extend past
+        # leftHit + insert_high (:2954-2959). The insert_low anchor the
+        # reference also computes (:2985-2988) is dead: the CPU kernel
+        # signature takes it but never reads it (CPU_DP.cpp:884).
+        hit_left = starts_l[kidx0] + st_l[kidx0]
+        starts_r = cands.right_pos[kidx0] - margin_r[kidx0]
+        lRk = lR[kidx0]
+        bound = hit_left + params.insert_high - starts_r
+        wl_r = np.minimum(lRk + 2 * margin_r[kidx0], bound)
+        right_reads = _revcomp_rows(allr[right_read_idx[kidx0]], lRk)
+        s2, st_r, e_r = self._device_align(
+            right_reads, lRk.astype(np.int32), starts_r, Wwin,
+            win_lens=wl_r.astype(np.int32),
+        )
+        thr_r = np.maximum((params.cutoff_ratio * lRk).astype(np.int64),
+                           params.cutoff_lower_bound)
+        sub = np.flatnonzero(s2 >= thr_r)
+        if len(sub) == 0:
+            return BatchHits.empty(), np.zeros(0, dtype=np.int64)
+        kidx = kidx0[sub]
         K = len(kidx)
+
+        sr = np.concatenate([s1[kidx], s2[sub]])
+        g_start = np.concatenate(
+            [starts_l[kidx] + st_l[kidx], starts_r[sub] + st_r[sub]]
+        )
+        g_stop = np.concatenate(
+            [starts_l[kidx] + e_l[kidx], starts_r[sub] + e_r[sub]]
+        )
         seq_s = self.ref.seq_of_pos(g_start)
         seq_e = self.ref.seq_of_pos(np.maximum(g_stop - 1, g_start))
         ok_bound = (seq_s == seq_e) & (g_start >= 0)
@@ -529,6 +602,24 @@ class AlignEngine:
         )
         strand_b = np.concatenate([sp1.strand[m1], sp2.strand[m2]])
         pos_b = np.concatenate([sp1.pos[m1], sp2.pos[m2]])
+        if len(pair_b):
+            # cap at max_se_candidates per read end: the reference keeps
+            # the first 200 clustered candidates per readID after the
+            # (readID, pos) sort (DV-DPForSingleReads.cpp:191-205)
+            order = np.lexsort((pos_b, strand_b, end_b, pair_b))
+            pair_b, end_b, strand_b, pos_b = (
+                pair_b[order], end_b[order], strand_b[order], pos_b[order]
+            )
+            new_grp = np.r_[
+                True, (pair_b[1:] != pair_b[:-1]) | (end_b[1:] != end_b[:-1])
+            ]
+            first_of = np.flatnonzero(new_grp)
+            gid = np.cumsum(new_grp) - 1
+            rank = np.arange(len(gid)) - first_of[gid]
+            keep = rank < params.max_se_candidates
+            pair_b, end_b, strand_b, pos_b = (
+                pair_b[keep], end_b[keep], strand_b[keep], pos_b[keep]
+            )
         if len(pair_b):
             reads_idx = pair_b.astype(np.int64) + end_b.astype(np.int64) * n
             rl = all_lens[reads_idx]

@@ -51,6 +51,20 @@ class AlignParams:
     # candidate-compression gap (DP2_DIVIDE_GAP, DV-DPfunctions.cpp:...)
     divide_gap: int = 5
     mmp: MmpParams = field(default_factory=MmpParams)
+    # deep-DP rounds (alignment.cpp:91-137): unaligned pairs re-seed
+    # with the next round's parameters. Every ini shipped with the
+    # MegaPath driver (soap4.ini for hg/ribo, soap4-nt2.ini for NT)
+    # sets NumberOfRoundOfDeepDPForLongReads=1, so the default is one
+    # round with ``mmp``; multi-round configs list per-round MmpParams.
+    extra_rounds: tuple = ()
+    # single-end DP candidate cap per read end
+    # (DV-DPForSingleReads.cpp:200 "WARNING HARDCODE": first 200
+    # clustered candidates per readID proceed to DP)
+    max_se_candidates: int = 200
+
+    @property
+    def seeding_rounds(self) -> tuple:
+        return (self.mmp,) + tuple(self.extra_rounds)
 
     def margin(self, read_len: int) -> int:
         """DP window margin (DP2_MARGIN, DV-DPfunctions.cpp:1760)."""

@@ -186,3 +186,94 @@ def test_format_comment_ignore():
         ambiguous=np.zeros((0, 2), np.int64),
     )
     assert format_comment({}, ref, AlignParams(), "IGNORE") == "IGNORE"
+
+
+# ---------------------------------------------------------------------------
+# round-2 semantics: multi-round deep DP, conditional right leg,
+# insert_high window clip, single-end candidate cap
+# ---------------------------------------------------------------------------
+
+
+def test_multiround_aligns_on_round2(world):
+    """Pairs whose reads carry a center mutation defeat a strict
+    round-1 seeding (seed_min_length > longest exact stretch) but align
+    on a relaxed round 2 (alignment.cpp:91-137 re-queues unaligned
+    pairs through the next round's seeding parameters)."""
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(41)
+    n = 6
+    r1, l1, r2, l2, truth = _make_pairs(ref, rng, n)
+    # center mutation: longest exact stretch = 40 < 60
+    for b in range(n):
+        r1[b, 40] = (r1[b, 40] + 1) % 4
+        r2[b, 40] = (r2[b, 40] + 1) % 4
+
+    strict = MmpParams(seed_min_length=60, reseed_len=61, good_seed_len=70)
+    relaxed = params.mmp
+
+    one_round = AlignEngine(ref, fm, params.with_(mmp=strict))
+    hits1 = one_round.align_pairs(r1, l1, r2, l2)
+    assert len(hits1) == 0
+
+    two_round = AlignEngine(
+        ref, fm, params.with_(mmp=strict, extra_rounds=(relaxed,))
+    )
+    hits2 = two_round.align_pairs(r1, l1, r2, l2)
+    table = best_per_seq(hits2, n, megapath_mode=1)
+    for b, (s, p, p2) in enumerate(truth):
+        # 79 matches + 1 mismatch per end: 77 per end, 154 paired
+        assert table[0][b].get(s) == 154, (b, table[0][b])
+        assert table[1][b].get(s) == 154
+
+
+def test_right_window_clipped_at_insert_high(world):
+    """A candidate whose right leg extends past leftStart + insert_high
+    gets its window clipped (DV-DPfunctions.cpp:2954-2959): the
+    overhanging tail is soft-clipped out of the score."""
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(42)
+    read_len = 80
+    # insert 520 > insert_high 500, but within the pairing margin
+    # (right_pos = p+440 <= p + 500 - 80 + 25)
+    r1, l1, r2, l2, truth = _make_pairs(ref, rng, 4, insert=520)
+    engine = AlignEngine(ref, fm, params)
+    hits = engine.align_pairs(r1, l1, r2, l2)
+    table = best_per_seq(hits, 4, megapath_mode=1)
+    for b, (s, p, p2) in enumerate(truth):
+        # left leg full 80; right leg loses the 20 bases past p+500
+        assert table[0][b].get(s) == 140, (b, table[0][b])
+        assert table[1][b].get(s) == 140
+
+
+def test_single_end_candidate_cap(world):
+    """max_se_candidates bounds the single-end DP fan-out per read end
+    (DV-DPForSingleReads.cpp:200 caps at the first 200 per readID)."""
+    ref, fm, params, _ = world
+    rng = np.random.default_rng(43)
+    read_len = 80
+    # a motif repeated 10x in sequence 0 -> ~10 candidate clusters
+    motif = _rand(read_len, rng)
+    codes = ref.codes.copy()
+    spots = [200 + 400 * k for k in range(10)]
+    for q in spots:
+        codes[q : q + read_len] = motif
+    ref2 = PackedReference(
+        codes=codes, names=ref.names, annotations=ref.annotations,
+        offsets=ref.offsets, ambiguous=ref.ambiguous,
+    )
+    from megapath_tpu.index.fm import build_fm_index
+
+    fm2 = build_fm_index(codes, sa_interval=4, lut_k=6)
+    reads1 = motif[None, :].copy()
+    reads2 = _rand(read_len, rng)[None, :]  # junk mate: no pairing
+    lens = np.full(1, read_len, np.int32)
+
+    uncapped = AlignEngine(ref2, fm2, params)
+    h_all = uncapped.align_pairs(reads1, lens, reads2, lens.copy())
+    n_all = len(np.unique(h_all.start[(h_all.read == 0) & (h_all.end == 0)]))
+    assert n_all == 10
+
+    capped = AlignEngine(ref2, fm2, params.with_(max_se_candidates=2))
+    h_cap = capped.align_pairs(reads1, lens, reads2, lens.copy())
+    n_cap = len(np.unique(h_cap.start[(h_cap.read == 0) & (h_cap.end == 0)]))
+    assert n_cap <= 2
