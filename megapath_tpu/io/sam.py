@@ -7,10 +7,11 @@ encoding can be layered on, but every downstream consumer in the
 pipeline (bamtobed/genomecov equivalents) is already in-process, so
 SAM text is an interchange convenience.
 
-MAPQ follows the simple scheme: unique hit => 60, multiple => scaled by
-score gap (the reference's BWA-like scheme is a lookup on suboptimal
-hit counts; we approximate with the standard -10log10 heuristic and
-cap to [0, 60]).
+MAPQ follows the reference's BWA-like scheme (soap4-nt2.ini sets
+BWALikeScore=1): bwase g_log_n table (CPUfunctions.h:104-109,
+SOAP4.cpp:291), bwaLikeSingleQualScore and bwaLikePairQualScore
+(BGS-IO.cpp:710-728, 814-877) on per-end best/second-best hit counts
+and pair-level optimal/suboptimal scores.
 """
 
 from __future__ import annotations
@@ -44,11 +45,65 @@ def sam_header(ref: PackedReference, prog: str = "megapath-tpu") -> str:
     return "\n".join(lines) + "\n"
 
 
-def _mapq(best: int, second: int) -> int:
-    if second <= 0:
-        return 60
-    gap = best - second
-    return int(max(1, min(60, 6 * gap)))
+# bwase_initialize (CPUfunctions.h:104-109): g_log_n[i] = 4.343*ln(i)+.5
+_G_LOG_N = np.zeros(256, dtype=np.int64)
+_G_LOG_N[1:] = (4.343 * np.log(np.arange(1, 256)) + 0.5).astype(np.int64)
+
+
+def bwa_single_mapq(x0: int, x1: int) -> int:
+    """bwaLikeSingleQualScore (BGS-IO.cpp:710-728): x0 = optimal hit
+    count, x1 = suboptimal hit count."""
+    if x0 > 1:
+        return 0
+    if x1 == 0:
+        return 37
+    n = int(_G_LOG_N[min(x1, 255)])
+    return 0 if n > 23 else 23 - n
+
+
+def bwa_pair_mapq(
+    x0_0: int, x1_0: int, x0_1: int, x1_1: int,
+    op_score: int, op_num: int, subop_score: int, subop_num: int,
+    readlen_0: int, readlen_1: int,
+) -> Tuple[int, int]:
+    """bwaLikePairQualScore (BGS-IO.cpp:814-877). op/subop are pair
+    total DP scores (scaled x10 internally, as the reference does)."""
+    mapq0 = bwa_single_mapq(x0_0, x1_0)
+    mapq1 = bwa_single_mapq(x0_1, x1_1)
+    op_score *= 10
+    subop_score *= 10
+    if mapq0 > 0 and mapq1 > 0:
+        mapq_p = min(mapq0 + mapq1, 60)
+        return mapq_p, mapq_p
+    mapq_p = 0
+    if op_num == 1:
+        if subop_num == 0:
+            mapq_p = 29
+        elif op_score - subop_score > 0.3 * ((readlen_0 + readlen_1) / 2):
+            mapq_p = 23
+        else:
+            mapq_p = max(
+                0,
+                (op_score - subop_score) // 2 - int(_G_LOG_N[min(subop_num, 255)]),
+            )
+    if mapq0 == 0:
+        mapq0 = min(mapq_p + 7, mapq1)
+    if mapq1 == 0:
+        mapq1 = min(mapq_p + 7, mapq0)
+    return mapq0, mapq1
+
+
+def _end_hit_counts(raws: List[int], starts: List[int]) -> Tuple[int, int]:
+    """(x0, x1): counts of distinct-position hits at the best and
+    second-best score tiers (BGS-IO.cpp:2332-2437 best/secBest scan)."""
+    best = max(raws)
+    x0 = len({s for r, s in zip(raws, starts) if r == best})
+    rest = [r for r in raws if r < best]
+    if not rest:
+        return x0, 0
+    second = max(rest)
+    x1 = len({s for r, s in zip(raws, starts) if r == second})
+    return x0, x1
 
 
 def hits_to_sam(
@@ -71,6 +126,40 @@ def hits_to_sam(
     for idx in order:
         key = (int(hits.read[idx]), int(hits.end[idx]))
         by_read_end.setdefault(key, []).append(int(idx))
+
+    # per-read MAPQ of the primary alignment (BWA-like scheme)
+    primary_mapq: Dict[Tuple[int, int], int] = {}
+    for r in {k[0] for k in by_read_end}:
+        stats = {}
+        for e in (0, 1):
+            rows = by_read_end.get((r, e))
+            if rows:
+                stats[e] = _end_hit_counts(
+                    [int(hits.raw_score[i]) for i in rows],
+                    [int(hits.start[i]) for i in rows],
+                )
+        pair_rows = [
+            i for e in (0, 1) for i in by_read_end.get((r, e), [])
+            if hits.paired[i] and hits.end[i] == 0
+        ]
+        if len(stats) == 2 and pair_rows:
+            pair_scores = sorted(
+                (int(hits.score[i]) for i in pair_rows), reverse=True
+            )
+            op = pair_scores[0]
+            op_num = sum(1 for s in pair_scores if s == op)
+            subs = [s for s in pair_scores if s < op]
+            subop = subs[0] if subs else 0
+            subop_num = len(pair_scores) - op_num
+            rl0 = int(lens1[r])
+            rl1 = int(lens2[r])
+            m0, m1 = bwa_pair_mapq(
+                *stats[0], *stats[1], op, op_num, subop, subop_num, rl0, rl1
+            )
+            primary_mapq[(r, 0)], primary_mapq[(r, 1)] = m0, m1
+        else:
+            for e, (x0, x1) in stats.items():
+                primary_mapq[(r, e)] = bwa_single_mapq(x0, x1)
 
     for (r, e), rows in by_read_end.items():
         reads = reads1 if e == 0 else reads2
@@ -107,8 +196,7 @@ def hits_to_sam(
                     cigar = (f"{pre}S" if pre else "") + core
                 except Exception:
                     cigar = f"{rl}M"
-            second = int(hits.raw_score[rows[1]]) if len(rows) > 1 else 0
-            mapq = _mapq(int(hits.raw_score[idx]), second) if rank == 0 else 0
+            mapq = primary_mapq[(r, e)] if rank == 0 else 0
             yield "\t".join(
                 [
                     names[r],

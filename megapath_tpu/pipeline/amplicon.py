@@ -196,7 +196,7 @@ class AmpliconPipeline:
         """
         from megapath_tpu.index.fm import build_fm_index
         from megapath_tpu.index.pack import pack_fasta
-        from megapath_tpu.io.sam import _mapq
+        from megapath_tpu.io.sam import bwa_single_mapq
         from megapath_tpu.pipeline.assembly import assemble_unitigs
 
         n = len(recs1)
@@ -233,12 +233,29 @@ class AmpliconPipeline:
             chits = ceng.align_pairs(
                 reads1[rids], lens1[rids], reads2[rids], lens2[rids]
             )
+            # per-(read,end) BWA-like MAPQ over the contig hit set
+            # (filter_contigs.py gates on bwa-mem MAPQ >= 10)
+            read_mapq: dict = {}
+            for rr in np.unique(chits.read):
+                for ee in (0, 1):
+                    m_ = (chits.read == rr) & (chits.end == ee)
+                    if not m_.any():
+                        continue
+                    raws = chits.raw_score[m_]
+                    best = raws.max()
+                    x0 = int((raws == best).sum())
+                    rest = raws[raws < best]
+                    x1 = int((rest == rest.max()).sum()) if len(rest) else 0
+                    read_mapq[(int(rr), ee)] = bwa_single_mapq(x0, x1)
             passed: set = set()
             for ci in range(len(region_contigs)):
                 m = chits.seq == ci
                 if not m.any():
                     continue
-                mapqs = [ _mapq(int(s), 0) for s in chits.raw_score[m] ]
+                mapqs = [
+                    read_mapq[(int(r_), int(e_))]
+                    for r_, e_ in zip(chits.read[m], chits.end[m])
+                ]
                 if np.mean(mapqs) >= mean_mapq_thres:
                     passed.add(ci)
             # retain reads aligned to passed contigs or unaligned to any

@@ -60,3 +60,36 @@ def test_sam_output_roundtrip():
         # read2 is reverse strand: SEQ is the revcomp (= original fwd ref)
         r2 = [f for f in recs if int(f[1]) & 0x80 and not int(f[1]) & 0x100][0]
         assert int(r2[1]) & 0x10
+
+
+def test_bwa_single_mapq_table():
+    """bwaLikeSingleQualScore (BGS-IO.cpp:710-728) hand cases:
+    g_log_n[x] = int(4.343*ln(x)+0.5)."""
+    from megapath_tpu.io.sam import bwa_single_mapq
+
+    assert bwa_single_mapq(2, 0) == 0  # multiple optimal hits
+    assert bwa_single_mapq(1, 0) == 37  # unique, no suboptimal
+    # x1=1: g_log_n[1]=0 -> 23; x1=2: int(4.343*ln2+.5)=3 -> 20
+    assert bwa_single_mapq(1, 1) == 23
+    assert bwa_single_mapq(1, 2) == 20
+    # x1=255: g_log_n=int(4.343*ln255+.5)=24 > 23 -> 0
+    assert bwa_single_mapq(1, 255) == 0
+    assert bwa_single_mapq(1, 300) == 0  # clamped at 255
+
+
+def test_bwa_pair_mapq_cases():
+    """bwaLikePairQualScore (BGS-IO.cpp:814-877) hand cases."""
+    from megapath_tpu.io.sam import bwa_pair_mapq
+
+    # both ends unique/no-subopt: 37+37 capped at 60, both get it
+    assert bwa_pair_mapq(1, 0, 1, 0, 160, 1, 0, 0, 80, 80) == (60, 60)
+    # one end repetitive (x0>1 -> mapq0=0), unique pair, no subopt pair:
+    # mapq_p=29; mapq0 = min(29+7, mapq1=37) = 36
+    assert bwa_pair_mapq(2, 0, 1, 0, 160, 1, 0, 0, 80, 80) == (36, 37)
+    # repetitive end + suboptimal pair with big gap (>0.3*80 after x10):
+    # mapq_p=23 -> mapq0 = min(30, 37) = 30
+    assert bwa_pair_mapq(2, 0, 1, 0, 160, 1, 100, 1, 80, 80) == (30, 37)
+    # close subop: (1600-1580)/2 - g_log_n[1]=0 -> 10; min(17,37)=17
+    assert bwa_pair_mapq(2, 0, 1, 0, 160, 1, 158, 1, 80, 80) == (17, 37)
+    # multiple best pairs: op_num != 1 -> mapq_p stays 0 -> min(7, 37)
+    assert bwa_pair_mapq(2, 0, 1, 0, 160, 2, 0, 0, 80, 80) == (7, 37)
