@@ -93,6 +93,71 @@ def build_workload():
     return ref, fm, reads1, lens, reads2, lens.copy()
 
 
+def _bench_taxdb(ref):
+    """Synthetic 4-species taxonomy for the pipeline bench."""
+    from megapath_tpu.taxonomy.taxdb import TaxDB
+
+    nodes_p = os.path.join(CACHE, "nodes.dmp")
+    names_p = os.path.join(CACHE, "names.dmp")
+    acc_p = os.path.join(CACHE, "acc2tid.map")
+    if not os.path.exists(acc_p):
+        with open(nodes_p, "w") as f:
+            f.write("1\t|\t1\t|\tno rank\t|\t\n")
+            f.write("2\t|\t1\t|\tsuperkingdom\t|\t\n")
+            for i in range(GENOME_SEQS):
+                f.write(f"{10+i}\t|\t2\t|\tspecies\t|\t\n")
+        with open(names_p, "w") as f:
+            f.write("1\t|\troot\t|\t\t|\tscientific name\t|\n")
+            f.write("2\t|\tBacteria\t|\t\t|\tscientific name\t|\n")
+            for i in range(GENOME_SEQS):
+                f.write(f"{10+i}\t|\tSpecies {i}\t|\t\t|\tscientific name\t|\n")
+        with open(acc_p, "w") as f:
+            f.write("accession\taccession.version\ttaxid\tgi\n")
+            for i in range(GENOME_SEQS):
+                f.write(f"seq{i}\tseq{i}.1\t{10+i}\t0\n")
+    db = TaxDB(size=4096)
+    db.read_nodes(nodes_p)
+    db.read_names(names_p)
+    db.read_acc2tid(acc_p)
+    return db
+
+
+def bench_pipeline(ref, fm, reads1, lens1, reads2, lens2) -> float:
+    """End-to-end stages 0+2+3 (bbduk -> NT align -> SPIKE -> taxid
+    merge -> reassign -> Kraken reports) on the same workload;
+    returns reads/s."""
+    from megapath_tpu.io.fastq import FastqRecord
+    from megapath_tpu.pipeline.megapath import MegaPathPipeline, PipelineConfig
+
+    decode = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qual = "I" * READ_LEN
+    recs1 = [
+        FastqRecord(f"rd{i:06d}", decode[reads1[i]].tobytes().decode(), qual)
+        for i in range(N_PAIRS)
+    ]
+    recs2 = [
+        FastqRecord(f"rd{i:06d}", decode[reads2[i]].tobytes().decode(), qual)
+        for i in range(N_PAIRS)
+    ]
+    pipe = MegaPathPipeline(
+        [(ref, fm)],
+        _bench_taxdb(ref),
+        config=PipelineConfig(
+            read_len=READ_LEN, skip_human=True, device_seeding=True,
+            max_read_len=128,
+        ),
+    )
+    t = time.time()
+    res = pipe.run_records(recs1, recs2)
+    dt = time.time() - t
+    log(
+        f"pipeline: {dt:.2f}s ({2*N_PAIRS/dt:.0f} reads/s), "
+        f"kept={res.n_after_preprocess}, spiked={res.spike_removed}, "
+        f"report lines={len(res.report.splitlines())}"
+    )
+    return 2 * N_PAIRS / dt
+
+
 def main() -> None:
     from megapath_tpu.align import AlignEngine, AlignParams
 
@@ -125,6 +190,10 @@ def main() -> None:
     best = min(times)
     reads_per_sec = 2 * N_PAIRS / best
 
+    # end-to-end pipeline throughput (BASELINE.md config 3 surface);
+    # engine compiles are warm from the align passes above
+    pipeline_rps = bench_pipeline(ref, fm, reads1, lens1, reads2, lens2)
+
     vs = 0.0
     bl_path = os.path.join(HERE, "bench_baseline.json")
     if os.path.exists(bl_path):
@@ -141,6 +210,7 @@ def main() -> None:
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(vs, 3),
+                "pipeline_reads_per_sec": round(pipeline_rps, 1),
             }
         )
     )

@@ -71,6 +71,63 @@ class Reassigner:
                     for prev in tids[:i]:
                         self.intersect[self._pairup(prev, tid)] += 1
 
+    def count_grouped(
+        self,
+        sp_rows,
+        gid_rows,
+        line_scores,
+    ) -> None:
+        """Vectorized pass 1 over hit rows sorted by line (group) id.
+
+        ``sp_rows``/``gid_rows`` are per-hit species and line ids (rows
+        sorted by gid, species deduped per line like taxLookupAcc
+        output); ``line_scores[g]`` is the line's score column. Same
+        arithmetic as count_line (reassign.cpp:80-117) without
+        formatting each record to text and re-parsing it.
+        """
+        import numpy as np
+
+        line_scores = np.asarray(line_scores)
+        ok = (line_scores >= self.t)[gid_rows]
+        g = np.asarray(gid_rows)[ok]
+        s = np.asarray(sp_rows, dtype=np.int64)[ok]
+        if len(s) == 0:
+            return
+        for tid, c in zip(*np.unique(s, return_counts=True)):
+            self.counts[int(tid)] += int(c)
+        first = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(g)])
+        for tid, c in zip(
+            *np.unique(s[starts[sizes == 1]], return_counts=True)
+        ):
+            self.uniq_counts[int(tid)] += int(c)
+        # pairwise co-occurrence: all unordered pairs within a line,
+        # one vectorized round per pair distance
+        maxk = int(sizes.max(initial=0))
+        for d in range(1, maxk):
+            i = np.arange(len(g) - d)
+            m = g[i] == g[i + d]
+            a, b = s[i[m]], s[i[m] + d]
+            hi, lo = np.maximum(a, b), np.minimum(a, b)
+            key = hi << 32 | lo
+            for k, c in zip(*np.unique(key, return_counts=True)):
+                self.intersect[(int(k >> 32), int(k & 0xFFFFFFFF))] += int(c)
+
+    def explained_rows(self, sp_rows, gid_rows, n_groups: int):
+        """Vectorized pass 2 mask: True for hit rows deleted because a
+        co-occurring taxon explains them (reassign.cpp:190-203)."""
+        import numpy as np
+
+        sp_rows = np.asarray(sp_rows, dtype=np.int64)
+        gid_rows = np.asarray(gid_rows)
+        drop = np.zeros(len(sp_rows), dtype=bool)
+        for a, b in self.explains:
+            has_a = np.zeros(n_groups, dtype=bool)
+            has_a[gid_rows[sp_rows == a]] = True
+            drop |= (sp_rows == b) & has_a[gid_rows]
+        return drop
+
     # -- resolve --------------------------------------------------------
     def _weakly_explain(self, a: int, b: int) -> bool:
         if self.uniq_counts[a] <= self.u * self.uniq_counts[b]:

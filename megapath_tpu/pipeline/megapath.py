@@ -193,33 +193,49 @@ class MegaPathPipeline:
 
         # -- SPIKE filter (runMegaPath.sh:211-221) ---------------------
         spike_removed = self._spike_banned(per_shard_hits, n_hg)
+        n_spiked = len(spike_removed)
 
         # -- array hit merge + taxid lookup (taxLookupAcc) -------------
-        lsam_id = self._merge_to_lsam_id(
-            recs1, recs2, per_shard_hits, spike_removed, n_hg
+        # Everything downstream (reassign counting, LCA, reports) runs
+        # on flat arrays; LsamRecord objects materialize only for the
+        # returned LSAM views. Rows are sorted by (read, end, species);
+        # a "line" is one read end, gid = read*2 + end.
+        n = n_hg
+        read, end, sp, sk, score, best = self._merge_arrays(
+            per_shard_hits, n
         )
-        n_spiked = len(spike_removed)
+        keep_read = np.ones(n, dtype=bool)
+        if spike_removed:
+            keep_read[list(spike_removed)] = False
+        rows_keep = keep_read[read] if len(read) else np.zeros(0, bool)
+        read, end, sp, sk, score = (
+            read[rows_keep], end[rows_keep], sp[rows_keep],
+            sk[rows_keep], score[rows_keep],
+        )
+        gid = (read.astype(np.int64) * 2 + end).astype(np.int64)
+        line_scores = best.T.reshape(-1)  # [2n]: index r*2+e
 
         # -- 3. reassignment + reports (runMegaPath.sh:235-265) --------
         ra = Reassigner(t=float(cfg.nt_cutoff))
-        for rec in lsam_id:
-            ra.count_line(rec.to_line())
+        ra.count_grouped(sp, gid, line_scores)
         ra.resolve()
-        ra_lsam = [
-            LsamRecord(
-                name=r.name,
-                flag=r.flag,
-                score=r.score,
-                seq="*",
-                qual="*",
-                hits=[(float(int(s)), t) for s, t in r.hits if not self._explained(ra, r.hits, t)],
-                opts=r.opts,
-            )
-            for r in lsam_id
-        ]
+        drop = ra.explained_rows(sp, gid, 2 * n)
 
-        report = self._report(lsam_id)
-        ra_report = self._report(ra_lsam)
+        line_mask = np.repeat(keep_read, 2)
+        report = self._report_arrays(sp, gid, line_scores, line_mask, n)
+        ra_report = self._report_arrays(
+            sp[~drop], gid[~drop], line_scores, line_mask, n
+        )
+
+        lsam_id = self._build_lsam_records(
+            recs1, recs2, keep_read, best, read, end, sp, sk, score
+        )
+        ra_lsam = self._build_lsam_records(
+            recs1, recs2, keep_read, best,
+            read[~drop], end[~drop], sp[~drop], sk[~drop], score[~drop],
+            reassigned=True,
+            sk_full=(read, end, sk),
+        )
         return PipelineResult(
             report=report,
             ra_report=ra_report,
@@ -229,14 +245,6 @@ class MegaPathPipeline:
             n_after_preprocess=n_pre,
             n_after_human=n_hg,
             spike_removed=n_spiked,
-        )
-
-    # ------------------------------------------------------------------
-    @staticmethod
-    def _explained(ra: Reassigner, hits, target) -> bool:
-        tid = int(float(target))
-        return any(
-            (int(float(other)), tid) in ra.explains for _, other in hits
         )
 
     def _spike_banned(
@@ -260,24 +268,20 @@ class MegaPathPipeline:
             banned.update(int(b) for b in bad)
         return banned
 
-    def _merge_to_lsam_id(
-        self,
-        recs1: List[FastqRecord],
-        recs2: List[FastqRecord],
-        per_shard_hits: List[BatchHits],
-        spike_banned: set,
-        n: int,
-    ) -> List[LsamRecord]:
+    def _merge_arrays(
+        self, per_shard_hits: List[BatchHits], n: int
+    ) -> Tuple[np.ndarray, ...]:
         """Array merge across shards -> species hits per read end.
 
         Equivalent of the cfq-comment chain + taxLookupAcc: per
         (end, read) keep max score per species, apply the
-        top-percentage retention against the per-end best.
+        top-percentage retention against the per-end best. Returns
+        (read, end, sp, sk, score) rows sorted by (read, end, sp) plus
+        the [2, n] per-end best-score table.
         """
         from megapath_tpu.align.output import best_per_seq_arrays
 
         top = self.cfg.top_percentage
-        db = self.taxdb
 
         reads_l, ends_l, sp_l, sk_l, sc_l = [], [], [], [], []
         for si, hits in enumerate(per_shard_hits):
@@ -313,86 +317,119 @@ class MegaPathPipeline:
         read, end, sp, sk, score = (
             read[known], end[known], sp[known], sk[known], score[known]
         )
-        if len(read) == 0:
-            groups: Dict[Tuple[int, int], slice] = {}
-            return self._build_lsam_records(
-                recs1, recs2, spike_banned, n, best, groups,
-                read, end, sp, sk, score,
+        if len(read):
+            # best per (end, read, species)
+            order = np.lexsort((-score, sp, read, end))
+            read, end, sp, sk, score = (
+                read[order], end[order], sp[order], sk[order], score[order]
             )
-        # best per (end, read, species)
-        order = np.lexsort((-score, sp, read, end))
-        read, end, sp, sk, score = (
-            read[order], end[order], sp[order], sk[order], score[order]
-        )
-        first = np.r_[
-            True,
-            (read[1:] != read[:-1]) | (end[1:] != end[:-1]) | (sp[1:] != sp[:-1]),
-        ]
-        read, end, sp, sk, score = (
-            read[first], end[first], sp[first], sk[first], score[first]
-        )
-        # -top retention against the all-hits best computed above
-        keep = score >= best[end.astype(np.int64), read.astype(np.int64)] * top
-        read, end, sp, sk, score = (
-            read[keep], end[keep], sp[keep], sk[keep], score[keep]
-        )
+            first = np.r_[
+                True,
+                (read[1:] != read[:-1]) | (end[1:] != end[:-1]) | (sp[1:] != sp[:-1]),
+            ]
+            read, end, sp, sk, score = (
+                read[first], end[first], sp[first], sk[first], score[first]
+            )
+            # -top retention against the all-hits best computed above
+            keep = score >= best[end.astype(np.int64), read.astype(np.int64)] * top
+            read, end, sp, sk, score = (
+                read[keep], end[keep], sp[keep], sk[keep], score[keep]
+            )
+            # canonical (read, end, species) row order
+            order = np.lexsort((sp, end, read))
+            read, end, sp, sk, score = (
+                read[order], end[order], sp[order], sk[order], score[order]
+            )
+        return read, end, sp, sk, score, best
 
-        # group rows per (read, end) for record building
-        order = np.lexsort((sp, end, read))
-        read, end, sp, sk, score = (
-            read[order], end[order], sp[order], sk[order], score[order]
+    def _report_arrays(
+        self,
+        sp: np.ndarray,
+        gid: np.ndarray,
+        line_scores: np.ndarray,
+        line_mask: np.ndarray,
+        n: int,
+    ) -> str:
+        """Kraken report from hit rows: per-line LCA (vectorized group
+        fold), lines below the cutoff or without hits unclassified
+        (genKrakenReport.cpp:148-156)."""
+        lca_full = np.zeros(2 * n, dtype=np.int64)
+        has = np.zeros(2 * n, dtype=bool)
+        if len(sp):
+            pres = np.unique(gid)
+            lca_full[pres] = self.taxdb.lca_grouped(sp, gid)
+            has[pres] = True
+        scores_eff = np.where(has, line_scores, -1)[line_mask]
+        rpt = KrakenReport(self.taxdb)
+        rpt.add_lsam_batch(
+            scores_eff, lca_full[line_mask], self.cfg.nt_cutoff
         )
-        bounds = np.flatnonzero(
-            np.r_[True, (read[1:] != read[:-1]) | (end[1:] != end[:-1])]
-        )
-        groups: Dict[Tuple[int, int], slice] = {}
-        for gi, b in enumerate(bounds):
-            e_ = bounds[gi + 1] if gi + 1 < len(bounds) else len(read)
-            groups[(int(read[b]), int(end[b]))] = slice(b, e_)
-        return self._build_lsam_records(
-            recs1, recs2, spike_banned, n, best, groups,
-            read, end, sp, sk, score,
-        )
+        return rpt.format()
 
     def _build_lsam_records(
-        self, recs1, recs2, spike_banned, n, best, groups,
+        self, recs1, recs2, keep_read, best,
         read, end, sp, sk, score,
+        reassigned: bool = False,
+        sk_full=None,
     ) -> List[LsamRecord]:
+        """Materialize LSAM.id records from merged rows (sorted by
+        (read, end, sp)). ``reassigned`` masks seq/qual to '*' like the
+        reassign tool; ``sk_full`` supplies the pre-reassign rows whose
+        superkingdom set labels the opts column (the reference keeps
+        the original annotation columns through reassign)."""
         db = self.taxdb
+        groups: Dict[Tuple[int, int], slice] = {}
+        if len(read):
+            bounds = np.flatnonzero(
+                np.r_[True, (read[1:] != read[:-1]) | (end[1:] != end[:-1])]
+            )
+            for gi, b in enumerate(bounds):
+                e_ = bounds[gi + 1] if gi + 1 < len(bounds) else len(read)
+                groups[(int(read[b]), int(end[b]))] = slice(b, e_)
+        sk_groups: Dict[Tuple[int, int], List[str]] = {}
+        if sk_full is not None:
+            fr, fe, fsk = sk_full
+            if len(fr):
+                bounds = np.flatnonzero(
+                    np.r_[True, (fr[1:] != fr[:-1]) | (fe[1:] != fe[:-1])]
+                )
+                for gi, b in enumerate(bounds):
+                    e_ = bounds[gi + 1] if gi + 1 < len(bounds) else len(fr)
+                    sks = sorted(set(int(x) for x in fsk[b:e_]) - {0})
+                    sk_groups[(int(fr[b]), int(fe[b]))] = [
+                        db.name_of(t) for t in sks
+                    ]
+
         out: List[LsamRecord] = []
-        for i in range(n):
-            if i in spike_banned:
+        for i in range(len(recs1)):
+            if not keep_read[i]:
                 continue
             for e_, recs in ((0, recs1), (1, recs2)):
                 rec = recs[i]
                 g = groups.get((i, e_))
-                if g is None:
-                    out.append(
-                        LsamRecord(rec.name, 0x40 if e_ == 0 else 0x80,
-                                   int(best[e_, i]), rec.seq, rec.qual, [], [])
-                    )
-                    continue
-                sks = sorted(set(int(x) for x in sk[g]) - {0})
+                if sk_full is not None:
+                    opts = sk_groups.get((i, e_), [])
+                elif g is not None:
+                    sks = sorted(set(int(x) for x in sk[g]) - {0})
+                    opts = [db.name_of(t) for t in sks]
+                else:
+                    opts = []
+                seq = "*" if reassigned else rec.seq
+                qual = "*" if reassigned else rec.qual
+                hits = (
+                    [(float(s_), str(int(t))) for s_, t in zip(score[g], sp[g])]
+                    if g is not None
+                    else []
+                )
                 out.append(
                     LsamRecord(
                         name=rec.name,
                         flag=0x40 if e_ == 0 else 0x80,
                         score=int(best[e_, i]),
-                        seq=rec.seq,
-                        qual=rec.qual,
-                        hits=[(float(s_), str(int(t))) for s_, t in zip(score[g], sp[g])],
-                        opts=[db.name_of(t) for t in sks],
+                        seq=seq,
+                        qual=qual,
+                        hits=hits,
+                        opts=opts,
                     )
                 )
         return out
-
-    def _report(self, lsam_id: List[LsamRecord]) -> str:
-        rpt = KrakenReport(self.taxdb)
-        for rec in lsam_id:
-            tids = (
-                [int(float(t)) for _, t in rec.hits]
-                if rec.score >= self.cfg.nt_cutoff
-                else []
-            )
-            rpt.add_read(tids)
-        return rpt.format()

@@ -67,25 +67,28 @@ class KrakenReport:
 
     def add_lsam_batch(self, scores: np.ndarray, lca_tids: np.ndarray,
                        score_threshold: int = 40) -> None:
-        """Vectorized intake: precomputed per-read LCAs + scores."""
+        """Vectorized intake: precomputed per-read LCAs + scores.
+
+        Lineage walks run once per distinct LCA with aggregated counts,
+        not once per read."""
         ok = scores >= score_threshold
-        for lca in lca_tids[ok]:
-            self._count_lca(int(lca))
+        for lca, c in zip(*np.unique(lca_tids[ok], return_counts=True)):
+            self._count_lca(int(lca), int(c))
         self.tid_count[0] += int((~ok).sum())
         self.total_reads += len(scores)
 
-    def _count_lca(self, lca: int) -> None:
+    def _count_lca(self, lca: int, count: int = 1) -> None:
         if lca == 0:
             lca = 1
-        self.tid_count[lca] += 1
+        self.tid_count[lca] += count
         lineage: List[int] = []
         t = lca
         while t != 1 and t != 0:
             lineage.append(t)
-            self.tid_acc_count[t] += 1
+            self.tid_acc_count[t] += count
             t = int(self.db.parent[t]) if t < len(self.db.parent) else 0
         lineage.append(t)
-        self.tid_acc_count[t] += 1
+        self.tid_acc_count[t] += count
         for i in range(len(lineage) - 1):
             self.sons[lineage[i + 1]].add(lineage[i])
         self.sons[_ROOT].add(lineage[-1])
@@ -110,7 +113,7 @@ class KrakenReport:
             stay = self.tid_count[tid]
             rank_c = chr(self.db.rank_code[tid]) if tid < len(self.db.rank_code) else "-"
             name = _sanitize(self.db.name_of(tid))
-            pct = acc * 100.0 / self.total_reads
+            pct = acc * 100.0 / (self.total_reads or 1)
             out.append(
                 f"{pct:6.2f}\t{acc}\t{stay}\t{rank_c}\t{tid}\t{depth}\t"
                 + "  " * depth

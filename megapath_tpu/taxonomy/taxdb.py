@@ -293,3 +293,36 @@ class TaxDB:
         # Disjoint lineages (one chain bottoms out at 0, the other at 1)
         # never meet; the reference LCA returns 0 for those.
         return np.where(a == b, a, 0).astype(np.int32)
+
+    def lca_grouped(self, tids: np.ndarray, gid: np.ndarray) -> np.ndarray:
+        """Per-group LCA over rows sorted by group id.
+
+        Shift-doubling fold of lca_pairwise: after round k, row i holds
+        the LCA of its group's rows in (i-2^k, i], so each group's last
+        row ends with the full-group LCA after ceil(log2(max group))
+        rounds. Single-row groups keep their own tid, matching the
+        reference's no-lineage-check single-element case
+        (taxonomy.h:152-159). Returns one LCA per group, in group order.
+        """
+        M = len(tids)
+        if M == 0:
+            return np.zeros(0, np.int32)
+        gid = np.asarray(gid)
+        first = np.r_[True, gid[1:] != gid[:-1]]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, M])
+        cur = np.asarray(tids, dtype=np.int64).copy()
+        idx = np.arange(M)
+        stride = 1
+        maxk = int(sizes.max())
+        while stride < maxk:
+            prev = idx - stride
+            same = prev >= 0
+            same[same] = gid[prev[same]] == gid[same]
+            comb = self.lca_pairwise(
+                cur, np.where(same, cur[np.maximum(prev, 0)], cur)
+            )
+            cur = np.where(same, comb, cur)
+            stride *= 2
+        ends = np.r_[starts[1:], M] - 1
+        return cur[ends].astype(np.int32)
