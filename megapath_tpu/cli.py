@@ -57,6 +57,7 @@ def _cmd_run(args) -> int:
 
     nt_shards = [load_pack(p) for p in args.nt_index]
     hg = load_pack(args.hg_index) if args.hg_index else None
+    ribo = load_pack(args.ribo_index) if args.ribo_index else None
     adapters = (
         build_kmer_ref(load_adapters(args.adapters)) if args.adapters else None
     )
@@ -69,12 +70,20 @@ def _cmd_run(args) -> int:
         skip_human=args.hg_index is None,
         skip_preprocess=args.adapters is None and args.skip_preprocess,
         device_seeding=not args.no_device_seeding,
+        batch_size=args.batch_size,
     )
-    pipe = MegaPathPipeline(nt_shards, db, hg_shard=hg, adapters=adapters, config=cfg)
-    res = pipe.run_files(args.r1, args.r2, args.prefix)
+    pipe = MegaPathPipeline(
+        nt_shards, db, hg_shard=hg, adapters=adapters, config=cfg,
+        ribo_shard=ribo,
+    )
+    res = pipe.run_files(
+        args.r1, args.r2, args.prefix,
+        assembly=args.assembly, megahit_bin=args.megahit_bin,
+    )
     print(
         f"[run] pairs in={res.n_input_pairs} preprocessed={res.n_after_preprocess} "
-        f"non-human={res.n_after_human} spike-removed={res.spike_removed}",
+        f"non-human={res.n_after_human} non-ribo={res.n_after_ribo} "
+        f"spike-removed={res.spike_removed}",
         file=sys.stderr,
     )
     print(f"[run] wrote {args.prefix}.nt.report / .nt.ra.report / .nt.lsam.id",
@@ -393,6 +402,14 @@ def main(argv=None) -> int:
     r.add_argument("-o", dest="spike_overlap", type=float, default=0.5)
     r.add_argument("--skip-preprocess", action="store_true")
     r.add_argument("--no-device-seeding", action="store_true")
+    r.add_argument("--ribo-index", default=None,
+                   help="SILVA-style 16S index prefix (-S stage, "
+                        "runMegaPath.sh:155-169)")
+    r.add_argument("-A", "--assembly", action="store_true",
+                   help="assembly + protein remap stage (runMegaPath.sh:267-330)")
+    r.add_argument("--megahit-bin", default=None)
+    r.add_argument("--batch-size", type=int, default=500_000,
+                   help="streaming read-pair batch size (SOAP4.cpp:206)")
     r.set_defaults(fn=_cmd_run)
 
     p = sub.add_parser("report", help="LSAM.id -> Kraken report")

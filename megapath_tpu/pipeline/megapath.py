@@ -49,6 +49,12 @@ class PipelineConfig:
     skip_human: bool = False
     device_seeding: bool = False
     max_read_len: int = 512
+    # streaming batch size for the file driver (the reference aligns
+    # ~2M-read batches through a double-buffered reader, SOAP4.cpp:206)
+    batch_size: int = 500_000
+    # ribosome filter (-S): extract threshold 0.95 * pair length
+    # (runMegaPath.sh:162, extractFromLSAM.pl fractional -t)
+    ribo_cutoff: float = 0.95
 
     @property
     def hg_cutoff(self) -> int:
@@ -65,6 +71,7 @@ class PipelineResult:
     n_after_preprocess: int = 0
     n_after_human: int = 0
     spike_removed: int = 0
+    n_after_ribo: int = 0
 
 
 class MegaPathPipeline:
@@ -75,6 +82,7 @@ class MegaPathPipeline:
         hg_shard: Optional[Tuple[PackedReference, FMIndex]] = None,
         adapters: Optional[KmerRef] = None,
         config: Optional[PipelineConfig] = None,
+        ribo_shard: Optional[Tuple[PackedReference, FMIndex]] = None,
     ):
         self.cfg = config or PipelineConfig()
         self.taxdb = taxdb
@@ -88,6 +96,17 @@ class MegaPathPipeline:
             AlignEngine(hg_shard[0], hg_shard[1], HG_PARAMS,
                         device_seeding=self.cfg.device_seeding)
             if hg_shard is not None
+            else None
+        )
+        # ribosome filter stage (-S): soap4 vs SILVA with -P -top 100
+        # (runMegaPath.sh:155-169); pair-required scoring, no retention
+        self.ribo_engine = (
+            AlignEngine(
+                ribo_shard[0], ribo_shard[1],
+                HG_PARAMS.with_(megapath_mode=2, top_percentage=1.0),
+                device_seeding=self.cfg.device_seeding,
+            )
+            if ribo_shard is not None
             else None
         )
         # per-shard seq -> species taxid (and superkingdom), vectorized
@@ -107,45 +126,233 @@ class MegaPathPipeline:
             self._sk_of.append(sk)
 
     # ------------------------------------------------------------------
-    def run_files(self, r1_path, r2_path, out_prefix: str) -> PipelineResult:
-        """File driver with stage-level resume markers: a
-        ``<prefix>.done`` skips completed work on rerun, like the
-        reference's .done gates (runMegaPath.sh:109-110)."""
+    def run_files(
+        self,
+        r1_path,
+        r2_path,
+        out_prefix: str,
+        batch_size: Optional[int] = None,
+        assembly: bool = False,
+        megahit_bin: Optional[str] = None,
+    ) -> PipelineResult:
+        """Streaming file driver (the runMegaPath.sh equivalent).
+
+        Reads flow through ``io.stream`` in ~batch_size-pair batches on
+        a prefetching reader thread (the aio_thread.cpp double buffer,
+        SOAP4.cpp:445); per-batch LSAM.id lines stream to disk, only
+        numeric accumulators (merged hit rows, per-shard coverage
+        intervals) stay in memory, so RSS is bounded by the batch size
+        rather than the input. Per-stage ``.done`` markers + a saved
+        align-state snapshot give stage-level resume like the
+        reference's gates (runMegaPath.sh:109-246).
+        """
+        import sys
+
+        from megapath_tpu.io.stream import stream_read_pairs
         from megapath_tpu.utils.timing import StageTimer
 
-        done = out_prefix + ".done"
-        if os.path.exists(done):
-            import sys
-
-            print(f"Skipping: {done} exists", file=sys.stderr)
-            return PipelineResult("", "", [], [])
-
+        cfg = self.cfg
+        bs = batch_size or cfg.batch_size
+        raw_lsam = out_prefix + ".nt.raw.lsam.id"
+        state_p = out_prefix + ".align_state.npz"
         timer = StageTimer()
-        with timer.stage("read-input"):
-            recs1 = list(read_fastx(r1_path))
-            recs2 = list(read_fastx(r2_path))
-            for r in recs1 + recs2:
-                r.name = trim_readno(r.name)
-        with timer.stage("pipeline"):
-            result = self.run_records(recs1, recs2)
-        with timer.stage("write-output"):
+
+        # ---- stage A: stream align (bbduk -> hg -> ribo -> NT) -------
+        if os.path.exists(out_prefix + ".align.done"):
+            print(f"Skipping alignment: {out_prefix}.align.done", file=sys.stderr)
+            st = np.load(state_p, allow_pickle=False)
+            rows = tuple(st[k] for k in ("read", "end", "sp", "sk", "score"))
+            best = st["best"]
+            counters = st["counters"]
+            spike_parts = [
+                (st[f"spk{si}_read"], st[f"spk{si}_seq"],
+                 st[f"spk{si}_start"], st[f"spk{si}_stop"])
+                for si in range(len(self.nt_engines))
+            ]
+        else:
+            acc_rows: List[Tuple[np.ndarray, ...]] = []
+            acc_best: List[np.ndarray] = []
+            spike_acc: List[List[Tuple[np.ndarray, ...]]] = [
+                [] for _ in self.nt_engines
+            ]
+            counters = np.zeros(4, dtype=np.int64)  # in, pre, hg, ribo
+            base = 0
+            with timer.stage("align"), open(raw_lsam, "w") as lsam_out:
+                for batch in stream_read_pairs(
+                    r1_path, r2_path, batch_size=bs, max_len=cfg.max_read_len
+                ):
+                    names = [trim_readno(n_) for n_ in batch.names]
+                    recs1 = [
+                        FastqRecord(n_, s_, q_)
+                        for n_, s_, q_ in zip(names, batch.seqs1, batch.quals1)
+                    ]
+                    recs2 = [
+                        FastqRecord(n_, s_, q_)
+                        for n_, s_, q_ in zip(names, batch.seqs2, batch.quals2)
+                    ]
+                    counters[0] += len(recs1)
+                    (recs1, recs2, reads1, lens1, reads2, lens2,
+                     n_pre, n_hg, n_ribo) = self._filter_batch(recs1, recs2)
+                    counters[1] += n_pre
+                    counters[2] += n_hg
+                    counters[3] += n_ribo
+                    per_shard = self._align_shards(
+                        reads1, lens1, reads2, lens2, n_ribo
+                    )
+                    for si, hits in enumerate(per_shard):
+                        if len(hits):
+                            off = self.nt_engines[si].ref.offsets[hits.seq]
+                            spike_acc[si].append(
+                                (hits.read + base, hits.seq,
+                                 hits.start - off, hits.stop - off)
+                            )
+                    read, end, sp, sk, score, best_b = self._merge_arrays(
+                        per_shard, n_ribo
+                    )
+                    # stream this batch's (unfiltered) LSAM.id rows
+                    for rec in self._build_lsam_records(
+                        recs1, recs2, np.ones(n_ribo, bool), best_b,
+                        read, end, sp, sk, score,
+                    ):
+                        lsam_out.write(rec.to_line() + "\n")
+                    acc_rows.append(
+                        (read + base, end, sp, sk, score)
+                    )
+                    acc_best.append(best_b)
+                    base += n_ribo
+                    print(
+                        f"[stream] batch done: {base} pairs aligned so far",
+                        file=sys.stderr,
+                    )
+            rows = (
+                tuple(
+                    np.concatenate([p[i] for p in acc_rows])
+                    for i in range(5)
+                )
+                if acc_rows
+                else tuple(np.zeros(0, np.int64) for _ in range(5))
+            )
+            best = (
+                np.concatenate(acc_best, axis=1)
+                if acc_best
+                else np.zeros((2, 0), np.int64)
+            )
+            save_kw = dict(
+                read=rows[0], end=rows[1], sp=rows[2], sk=rows[3],
+                score=rows[4], best=best, counters=counters,
+            )
+            for si, parts in enumerate(spike_acc):
+                cat = (
+                    [np.concatenate([p[i] for p in parts]) for i in range(4)]
+                    if parts
+                    else [np.zeros(0, np.int64)] * 4
+                )
+                save_kw[f"spk{si}_read"] = cat[0]
+                save_kw[f"spk{si}_seq"] = cat[1]
+                save_kw[f"spk{si}_start"] = cat[2]
+                save_kw[f"spk{si}_stop"] = cat[3]
+            np.savez_compressed(state_p, **save_kw)
+            spike_parts = [
+                (save_kw[f"spk{si}_read"], save_kw[f"spk{si}_seq"],
+                 save_kw[f"spk{si}_start"], save_kw[f"spk{si}_stop"])
+                for si in range(len(self.nt_engines))
+            ]
+            with open(out_prefix + ".align.done", "w") as f:
+                f.write("ok\n")
+
+        n = int(counters[3])
+
+        # ---- stage B: SPIKE filter over global coverage ---------------
+        with timer.stage("spike"):
+            banned: set = set()
+            for si, (rd, sq, st_, sp_) in enumerate(spike_parts):
+                if len(rd):
+                    banned |= self._spike_from_intervals(si, rd, sq, st_, sp_)
+            keep_read = np.ones(n, dtype=bool)
+            if banned:
+                keep_read[list(banned)] = False
+
+        # ---- stage C: reassign + reports + filtered LSAM files --------
+        with timer.stage("report"):
+            report, ra_report, drop, _, ra_obj = self._tail(
+                rows[0], rows[1], rows[2], rows[3], rows[4],
+                best, keep_read, n,
+            )
             with open(out_prefix + ".nt.report", "w") as f:
-                f.write(result.report)
+                f.write(report)
             with open(out_prefix + ".nt.ra.report", "w") as f:
-                f.write(result.ra_report)
-            with open(out_prefix + ".nt.lsam.id", "w") as f:
-                for rec in result.lsam_id:
-                    f.write(rec.to_line() + "\n")
-        with open(done, "w") as f:
+                f.write(ra_report)
+            # stream-filter the on-disk LSAM (lsamReadFilter semantics)
+            # and the reassign rewrite (reassign.cpp pass 2)
+            with open(raw_lsam) as fin, \
+                    open(out_prefix + ".nt.lsam.id", "w") as fo, \
+                    open(out_prefix + ".nt.ra.lsam.id", "w") as fr:
+                for li, line in enumerate(fin):
+                    if not keep_read[li // 2]:
+                        continue
+                    fo.write(line)
+                    fr.write(ra_obj.rewrite_line(line) + "\n")
+
+        # ---- stage 4 (-A): assembly + protein remap hook ---------------
+        if assembly and not os.path.exists(out_prefix + ".assembly.done"):
+            with timer.stage("assembly"):
+                self._assembly_stage(
+                    r1_path, r2_path, out_prefix, megahit_bin
+                )
+            with open(out_prefix + ".assembly.done", "w") as f:
+                f.write("ok\n")
+
+        with open(out_prefix + ".done", "w") as f:
             f.write("ok\n")
-        return result
+        return PipelineResult(
+            report=report,
+            ra_report=ra_report,
+            lsam_id=[],
+            ra_lsam_id=[],
+            n_input_pairs=int(counters[0]),
+            n_after_preprocess=int(counters[1]),
+            n_after_human=int(counters[2]),
+            spike_removed=len(banned),
+            n_after_ribo=int(counters[3]),
+        )
+
+    def _assembly_stage(
+        self, r1_path, r2_path, out_prefix: str, megahit_bin: Optional[str]
+    ) -> None:
+        """Stage 4/4.1 (-A, runMegaPath.sh:267-330): extract viral +
+        unmapped pairs from the filtered LSAM, bbnorm + assemble, map
+        reads back to contigs; protein remap attaches via the m8
+        import hook (classify.extras.m8_to_lsam)."""
+        from megapath_tpu.io.lsam import read_lsam
+        from megapath_tpu.pipeline.assembly import (
+            assembly_path,
+            extract_viral_and_unmapped,
+        )
+
+        lsam_id = list(read_lsam(out_prefix + ".nt.lsam.id"))
+        recs1 = list(read_fastx(r1_path))
+        recs2 = list(read_fastx(r2_path))
+        for r in recs1 + recs2:
+            r.name = trim_readno(r.name)
+        v1, v2 = extract_viral_and_unmapped(
+            lsam_id, recs1, recs2, threshold=self.cfg.nt_cutoff
+        )
+        res = assembly_path(v1, v2, megahit_bin=megahit_bin)
+        with open(out_prefix + ".contigs.fa", "w") as f:
+            for i, c in enumerate(res.contigs):
+                f.write(f">ctg{i}\n{c}\n")
+        with open(out_prefix + ".r2c.lsam", "w") as f:
+            for rec in res.read2contig:
+                f.write(rec.to_line() + "\n")
 
     # ------------------------------------------------------------------
-    def run_records(
+    def _filter_batch(
         self, recs1: List[FastqRecord], recs2: List[FastqRecord]
-    ) -> PipelineResult:
+    ):
+        """Stages 0-1.5 on one batch: bbduk preprocess, human filter,
+        optional ribosome filter. Returns the surviving records +
+        packed arrays + (n_pre, n_hg, n_ribo) counters."""
         cfg = self.cfg
-        n_input = len(recs1)
 
         # -- 0. preprocess (bbduk passes, runMegaPath.sh:119) ----------
         if not cfg.skip_preprocess:
@@ -168,13 +375,10 @@ class MegaPathPipeline:
         # -- 1. human filter (runMegaPath.sh:128-153) ------------------
         if self.hg_engine is not None and not cfg.skip_human and n_pre:
             hits = self.hg_engine.align_pairs(reads1, lens1, reads2, lens2)
-            table = best_per_seq(hits, n_pre, megapath_mode=1)
-            cut = cfg.hg_cutoff
-            best1 = np.array([max(table[0][i].values(), default=0) for i in range(n_pre)])
-            best2 = np.array([max(table[1][i].values(), default=0) for i in range(n_pre)])
+            best = self._best_per_end(hits, n_pre, mode=1)
             # extractFromLSAM.pl:69 keeps the pair when EITHER end is
             # below the cutoff
-            keep = (best1 < cut) | (best2 < cut)
+            keep = (best[0] < cfg.hg_cutoff) | (best[1] < cfg.hg_cutoff)
             kidx = np.flatnonzero(keep)
             recs1 = [recs1[i] for i in kidx]
             recs2 = [recs2[i] for i in kidx]
@@ -182,31 +386,63 @@ class MegaPathPipeline:
             reads2, lens2 = reads2[kidx], lens2[kidx]
         n_hg = len(recs1)
 
-        # -- 2. NT alignment over all shards (concurrent merge) --------
-        per_shard_hits: List[BatchHits] = []
-        for engine in self.nt_engines:
-            per_shard_hits.append(
-                engine.align_pairs(reads1, lens1, reads2, lens2)
-                if n_hg
-                else BatchHits.empty()
+        # -- 1.5 ribosome filter (-S, runMegaPath.sh:155-169) ----------
+        # soap4 -P -top 100 vs SILVA, extract at fractional t=0.95:
+        # cutoff = 0.95 * (len1 + len2) against the pair-required score
+        if self.ribo_engine is not None and n_hg:
+            hits = self.ribo_engine.align_pairs(reads1, lens1, reads2, lens2)
+            best = self._best_per_end(hits, n_hg, mode=2)
+            cut = (
+                cfg.ribo_cutoff
+                * (lens1.astype(np.int64) + lens2.astype(np.int64))
             )
+            keep = (best[0] < cut) | (best[1] < cut)
+            kidx = np.flatnonzero(keep)
+            recs1 = [recs1[i] for i in kidx]
+            recs2 = [recs2[i] for i in kidx]
+            reads1, lens1 = reads1[kidx], lens1[kidx]
+            reads2, lens2 = reads2[kidx], lens2[kidx]
+        n_ribo = len(recs1)
 
-        # -- SPIKE filter (runMegaPath.sh:211-221) ---------------------
-        spike_removed = self._spike_banned(per_shard_hits, n_hg)
-        n_spiked = len(spike_removed)
+        return recs1, recs2, reads1, lens1, reads2, lens2, n_pre, n_hg, n_ribo
 
-        # -- array hit merge + taxid lookup (taxLookupAcc) -------------
-        # Everything downstream (reassign counting, LCA, reports) runs
-        # on flat arrays; LsamRecord objects materialize only for the
-        # returned LSAM views. Rows are sorted by (read, end, species);
-        # a "line" is one read end, gid = read*2 + end.
-        n = n_hg
-        read, end, sp, sk, score, best = self._merge_arrays(
-            per_shard_hits, n
-        )
-        keep_read = np.ones(n, dtype=bool)
-        if spike_removed:
-            keep_read[list(spike_removed)] = False
+    @staticmethod
+    def _best_per_end(hits: BatchHits, n: int, mode: int) -> np.ndarray:
+        """[2, n] best normalized score per read end; mode 2 counts
+        paired hits only (BGS-IO.cpp:2001-2010)."""
+        best = np.zeros((2, n), dtype=np.int64)
+        m = hits.paired if mode == 2 else np.ones(len(hits.read), bool)
+        if m.any():
+            np.maximum.at(
+                best,
+                (hits.end[m].astype(np.int64), hits.read[m].astype(np.int64)),
+                hits.score[m].astype(np.int64),
+            )
+        return best
+
+    def _align_shards(self, reads1, lens1, reads2, lens2, n) -> List[BatchHits]:
+        """Stage 2: NT alignment over all shards (concurrent merge)."""
+        return [
+            engine.align_pairs(reads1, lens1, reads2, lens2)
+            if n
+            else BatchHits.empty()
+            for engine in self.nt_engines
+        ]
+
+    def _tail(
+        self,
+        read: np.ndarray,
+        end: np.ndarray,
+        sp: np.ndarray,
+        sk: np.ndarray,
+        score: np.ndarray,
+        best: np.ndarray,
+        keep_read: np.ndarray,
+        n: int,
+    ):
+        """Stage 3 on merged arrays: reassign + both reports. Returns
+        (report, ra_report, drop_mask, filtered row arrays)."""
+        cfg = self.cfg
         rows_keep = keep_read[read] if len(read) else np.zeros(0, bool)
         read, end, sp, sk, score = (
             read[rows_keep], end[rows_keep], sp[rows_keep],
@@ -215,7 +451,6 @@ class MegaPathPipeline:
         gid = (read.astype(np.int64) * 2 + end).astype(np.int64)
         line_scores = best.T.reshape(-1)  # [2n]: index r*2+e
 
-        # -- 3. reassignment + reports (runMegaPath.sh:235-265) --------
         ra = Reassigner(t=float(cfg.nt_cutoff))
         ra.count_grouped(sp, gid, line_scores)
         ra.resolve()
@@ -226,6 +461,38 @@ class MegaPathPipeline:
         ra_report = self._report_arrays(
             sp[~drop], gid[~drop], line_scores, line_mask, n
         )
+        return report, ra_report, drop, (read, end, sp, sk, score), ra
+
+    def run_records(
+        self, recs1: List[FastqRecord], recs2: List[FastqRecord]
+    ) -> PipelineResult:
+        n_input = len(recs1)
+        (recs1, recs2, reads1, lens1, reads2, lens2,
+         n_pre, n_hg, n_ribo) = self._filter_batch(recs1, recs2)
+        n = n_ribo
+
+        per_shard_hits = self._align_shards(reads1, lens1, reads2, lens2, n)
+
+        # -- SPIKE filter (runMegaPath.sh:211-221) ---------------------
+        spike_removed = self._spike_banned(per_shard_hits, n)
+        n_spiked = len(spike_removed)
+
+        # -- array hit merge + taxid lookup (taxLookupAcc) -------------
+        # Everything downstream (reassign counting, LCA, reports) runs
+        # on flat arrays; LsamRecord objects materialize only for the
+        # returned LSAM views. Rows are sorted by (read, end, species);
+        # a "line" is one read end, gid = read*2 + end.
+        read, end, sp, sk, score, best = self._merge_arrays(
+            per_shard_hits, n
+        )
+        keep_read = np.ones(n, dtype=bool)
+        if spike_removed:
+            keep_read[list(spike_removed)] = False
+
+        report, ra_report, drop, rows, _ = self._tail(
+            read, end, sp, sk, score, best, keep_read, n
+        )
+        read, end, sp, sk, score = rows
 
         lsam_id = self._build_lsam_records(
             recs1, recs2, keep_read, best, read, end, sp, sk, score
@@ -245,28 +512,36 @@ class MegaPathPipeline:
             n_after_preprocess=n_pre,
             n_after_human=n_hg,
             spike_removed=n_spiked,
+            n_after_ribo=n_ribo,
         )
 
     def _spike_banned(
         self, per_shard_hits: List[BatchHits], n_reads: int
     ) -> set:
         banned: set = set()
-        for engine, hits in zip(self.nt_engines, per_shard_hits):
+        for si, hits in enumerate(per_shard_hits):
             if not len(hits):
                 continue
-            seq_lens = np.diff(engine.ref.offsets)
-            off = engine.ref.offsets[hits.seq]
-            bad = spike_read_filter(
-                seq_lens.tolist(),
-                hits.read,
-                hits.seq,
-                hits.start - off,
-                hits.stop - off,
-                max_depth_stdev=self.cfg.spike_stdev,
-                overlap=self.cfg.spike_overlap,
+            off = self.nt_engines[si].ref.offsets[hits.seq]
+            banned |= self._spike_from_intervals(
+                si, hits.read, hits.seq, hits.start - off, hits.stop - off
             )
-            banned.update(int(b) for b in bad)
         return banned
+
+    def _spike_from_intervals(
+        self, shard_idx: int, read, seq, local_start, local_stop
+    ) -> set:
+        seq_lens = np.diff(self.nt_engines[shard_idx].ref.offsets)
+        bad = spike_read_filter(
+            seq_lens.tolist(),
+            read,
+            seq,
+            local_start,
+            local_stop,
+            max_depth_stdev=self.cfg.spike_stdev,
+            overlap=self.cfg.spike_overlap,
+        )
+        return {int(b) for b in bad}
 
     def _merge_arrays(
         self, per_shard_hits: List[BatchHits], n: int

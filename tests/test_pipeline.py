@@ -133,3 +133,110 @@ def test_pipeline_reassign_changes_report(world):
     res = pipe.run_records(r1, r2)
     assert res.report  # smoke: reassign ran; no explains expected here
     assert res.ra_report.splitlines()[0].startswith("perc")
+
+
+def _write_fastq(recs, path):
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(f"@{r.name}\n{r.seq}\n+\n{r.qual}\n")
+
+
+def test_streaming_run_files_matches_run_records(world, tmp_path):
+    """run_files streams batches (SOAP4.cpp:445 double-buffer shape)
+    and must reproduce the in-memory path's reports and LSAM bytes,
+    including across a batch boundary."""
+    shard0, shard1, hg_shard, seqs, db = world
+    rng = np.random.default_rng(6)
+    cfg = PipelineConfig(read_len=80, skip_preprocess=True, batch_size=7)
+    pipe = MegaPathPipeline([shard0, shard1], db, hg_shard=hg_shard, config=cfg)
+
+    r1, r2 = [], []
+    for key, n in [
+        ("NC_000913.1 Escherichia coli K-12", 9),
+        ("NC_045512.1 SARS-CoV-2", 5),
+        ("NC_000001.1 Homo sapiens chr1", 3),
+    ]:
+        a, b = _pairs_from(seqs, key, rng, n)
+        r1 += a
+        r2 += b
+    want = pipe.run_records(r1, r2)
+
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    _write_fastq(r1, p1)
+    _write_fastq(r2, p2)
+    got = pipe.run_files(str(p1), str(p2), str(tmp_path / "mp"))
+
+    assert got.report == want.report
+    assert got.ra_report == want.ra_report
+    assert got.n_after_human == want.n_after_human
+    # on-disk LSAM matches the in-memory records byte for byte
+    lines = (tmp_path / "mp.nt.lsam.id").read_text().splitlines()
+    assert lines == [rec.to_line() for rec in want.lsam_id]
+    # per-stage markers exist and a rerun resumes from the align state
+    assert (tmp_path / "mp.align.done").exists()
+    assert (tmp_path / "mp.done").exists()
+    again = pipe.run_files(str(p1), str(p2), str(tmp_path / "mp"))
+    assert again.report == want.report
+
+
+def test_ribosome_stage_filters_pairs(world):
+    """-S stage: pairs matching the 16S index at >= 0.95 * pair length
+    (pair-required -P scoring) are removed before NT alignment
+    (runMegaPath.sh:155-169)."""
+    shard0, shard1, hg_shard, seqs, db = world
+    rng = np.random.default_rng(7)
+    ribo_seq = rng.integers(0, 4, 3000).astype(np.uint8)
+    ref = pack_fasta([FastqRecord("SILVA_1", decode_seq(ribo_seq), "", "")])
+    fm = build_fm_index(ref.codes, sa_interval=4, lut_k=6)
+
+    cfg = PipelineConfig(read_len=80, skip_preprocess=True, skip_human=True)
+    pipe = MegaPathPipeline(
+        [shard0, shard1], db, config=cfg, ribo_shard=(ref, fm)
+    )
+
+    # 4 rRNA pairs (exact -> summed score 160 >= 0.95*160) + 5 real
+    qual = "I" * 80
+    rr1, rr2 = [], []
+    for i in range(4):
+        p = int(rng.integers(0, len(ribo_seq) - 300))
+        a = ribo_seq[p : p + 80]
+        seg = ribo_seq[p + 220 : p + 300]
+        b = COMPLEMENT[seg[::-1]]
+        rr1.append(FastqRecord(f"ribo{i}", decode_seq(a), qual))
+        rr2.append(FastqRecord(f"ribo{i}", decode_seq(b), qual))
+    e1, e2 = _pairs_from(seqs, "NC_000913.1 Escherichia coli K-12", rng, 5)
+    res = pipe.run_records(rr1 + e1, rr2 + e2)
+    assert res.n_after_ribo == 5
+    # ribo reads gone; E. coli still reported
+    assert "Escherichia" in res.report
+    names = {r.name for r in res.lsam_id}
+    assert not any(n.startswith("ribo") for n in names)
+
+
+def test_assembly_stage_writes_outputs(world, tmp_path):
+    """-A wiring: run_files(assembly=True) extracts viral+unmapped
+    pairs and writes contigs + r2c LSAM (runMegaPath.sh:267-330)."""
+    shard0, shard1, hg_shard, seqs, db = world
+    rng = np.random.default_rng(8)
+    cfg = PipelineConfig(read_len=80, skip_preprocess=True, skip_human=True)
+    pipe = MegaPathPipeline([shard0, shard1], db, config=cfg)
+
+    # dense tiling of a SARS-CoV-2 region so the unitig fallback can
+    # assemble a contig from the (viral) extracted reads
+    codes = seqs["NC_045512.1 SARS-CoV-2"]
+    qual = "I" * 80
+    r1, r2 = [], []
+    for i, p in enumerate(range(1000, 1400, 10)):
+        a = codes[p : p + 80]
+        seg = codes[p + 220 : p + 300]
+        b = COMPLEMENT[seg[::-1]]
+        r1.append(FastqRecord(f"v{i}", decode_seq(a), qual))
+        r2.append(FastqRecord(f"v{i}", decode_seq(b), qual))
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    _write_fastq(r1, p1)
+    _write_fastq(r2, p2)
+    pipe.run_files(str(p1), str(p2), str(tmp_path / "asm"), assembly=True)
+    assert (tmp_path / "asm.assembly.done").exists()
+    contigs = (tmp_path / "asm.contigs.fa").read_text()
+    assert contigs.startswith(">ctg0")
+    assert len(contigs.splitlines()[1]) >= 100
