@@ -203,17 +203,26 @@ class AlignEngine:
         fm: FMIndex,
         params: AlignParams,
         device_seeding: bool = False,
+        device=None,
     ):
         self.ref = ref
         self.fm = fm
         self.params = params
         self.dfm = None
+        self.device = device
         self._ref_dev = None
         self.seed_segment_threshold: Optional[int] = None  # see _device_seeds
         if device_seeding:
             from megapath_tpu.align.seeding_jax import DeviceFM
 
-            self.dfm = DeviceFM.from_host(fm)
+            self.dfm = DeviceFM.from_host(fm, device=device)
+        if device is not None:
+            # commit the shard text now so every jit call on this
+            # engine executes on its mesh device (uncommitted numpy
+            # inputs follow the committed arguments)
+            import jax
+
+            self._ref_dev = jax.device_put(ref.codes, device)
 
     # ------------------------------------------------------------------
     def seed_positions(
@@ -279,9 +288,18 @@ class AlignEngine:
         )
         seg1 = min(int(1.4 * L), limit) if segmented else limit
 
-        walkers, wlens = build_walkers(
-            jnp.asarray(reads), jnp.asarray(lens.astype(np.int32))
-        )
+        # commit inputs to the engine's device (if pinned): jit outputs
+        # are committed, so walkers built on the default device would
+        # clash with the dfm committed elsewhere
+        import jax as _jax
+
+        if self.device is not None:
+            reads_d = _jax.device_put(reads, self.device)
+            lens_d = _jax.device_put(lens.astype(np.int32), self.device)
+        else:
+            reads_d = jnp.asarray(reads)
+            lens_d = jnp.asarray(lens.astype(np.int32))
+        walkers, wlens = build_walkers(reads_d, lens_d)
         out, st = device_mmp_seed(
             self.dfm, walkers, wlens, mmp, max_seeds=max_seeds,
             max_steps=seg1, finalize=not segmented,

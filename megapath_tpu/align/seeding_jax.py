@@ -71,8 +71,15 @@ class DeviceFM:
                    lut_k, mark_bits, sa_sampled, sa_interval)
 
     @classmethod
-    def from_host(cls, fm: FMIndex) -> "DeviceFM":
+    def from_host(cls, fm: FMIndex, device=None) -> "DeviceFM":
+        """``device`` pins the arrays to a specific device (committed),
+        so jit calls taking this DeviceFM execute there — the basis of
+        the per-shard mesh placement in ``parallel.cascade``."""
         assert fm.n < 2**31, "device seeding path requires shard < 2^31"
+
+        def put(a):
+            return jnp.asarray(a) if device is None else jax.device_put(a, device)
+
         lut_k = fm.lut_k
         wpb = OCC_BLOCK // WORD_CHARS
         words2d = fm.bwt_words.reshape(-1, wpb)
@@ -88,13 +95,13 @@ class DeviceFM:
         return cls(
             n=int(fm.n),
             primary=int(fm.primary),
-            bwt_words=jnp.asarray(fm.bwt_words),
-            fused_rows=jnp.asarray(fused),
+            bwt_words=put(fm.bwt_words),
+            fused_rows=put(fused),
             lut_base=n_blocks + 1,
-            counts=jnp.asarray(fm.counts.astype(np.int32)),
+            counts=put(fm.counts.astype(np.int32)),
             lut_k=int(lut_k),
-            mark_bits=jnp.asarray(fm.mark_rank.astype(np.int32)),
-            sa_sampled=jnp.asarray(fm.sa_sampled.astype(np.int32)),
+            mark_bits=put(fm.mark_rank.astype(np.int32)),
+            sa_sampled=put(fm.sa_sampled.astype(np.int32)),
             sa_interval=int(fm.sa_interval),
         )
 

@@ -83,18 +83,34 @@ class MegaPathPipeline:
         adapters: Optional[KmerRef] = None,
         config: Optional[PipelineConfig] = None,
         ribo_shard: Optional[Tuple[PackedReference, FMIndex]] = None,
+        devices: Optional[Sequence] = None,
     ):
+        """``devices`` distributes the NT shard engines round-robin
+        over a device list (e.g. ``jax.devices()`` or one mesh axis):
+        each shard's FM-index + packed text are committed to its
+        device, shard alignments dispatch concurrently from a thread
+        pool, and the existing associative array merge combines hits —
+        the concurrent equivalent of runMegaPath.sh:191-227's
+        sequential comment-chaining cascade."""
         self.cfg = config or PipelineConfig()
         self.taxdb = taxdb
         self.adapters = adapters
+        devs: List = list(devices) if devices else []
         self.nt_engines = [
             AlignEngine(ref, fm, NT_PARAMS.with_(top_percentage=self.cfg.top_percentage),
-                        device_seeding=self.cfg.device_seeding)
-            for ref, fm in nt_shards
+                        device_seeding=self.cfg.device_seeding,
+                        device=devs[i % len(devs)] if devs else None)
+            for i, (ref, fm) in enumerate(nt_shards)
         ]
+        self._pool = None
+        if devs and len(nt_shards) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=len(nt_shards))
         self.hg_engine = (
             AlignEngine(hg_shard[0], hg_shard[1], HG_PARAMS,
-                        device_seeding=self.cfg.device_seeding)
+                        device_seeding=self.cfg.device_seeding,
+                        device=devs[0] if devs else None)
             if hg_shard is not None
             else None
         )
@@ -105,6 +121,7 @@ class MegaPathPipeline:
                 ribo_shard[0], ribo_shard[1],
                 HG_PARAMS.with_(megapath_mode=2, top_percentage=1.0),
                 device_seeding=self.cfg.device_seeding,
+                device=devs[len(devs) // 2] if devs else None,
             )
             if ribo_shard is not None
             else None
@@ -421,11 +438,24 @@ class MegaPathPipeline:
         return best
 
     def _align_shards(self, reads1, lens1, reads2, lens2, n) -> List[BatchHits]:
-        """Stage 2: NT alignment over all shards (concurrent merge)."""
+        """Stage 2: NT alignment over all shards.
+
+        With mesh placement (``devices=``) each shard engine's jit
+        calls execute on its own committed device; dispatching from a
+        thread pool overlaps the per-shard device programs (JAX
+        dispatch is async and thread-safe) and the host-side decode/
+        pairing between them — the concurrent form of the reference's
+        sequential shard cascade."""
+        if not n:
+            return [BatchHits.empty() for _ in self.nt_engines]
+        if self._pool is not None:
+            futs = [
+                self._pool.submit(e.align_pairs, reads1, lens1, reads2, lens2)
+                for e in self.nt_engines
+            ]
+            return [f.result() for f in futs]
         return [
             engine.align_pairs(reads1, lens1, reads2, lens2)
-            if n
-            else BatchHits.empty()
             for engine in self.nt_engines
         ]
 
