@@ -144,7 +144,9 @@ def bench_pipeline(ref, fm, reads1, lens1, reads2, lens2) -> float:
         _bench_taxdb(ref),
         config=PipelineConfig(
             read_len=READ_LEN, skip_human=True, device_seeding=True,
-            max_read_len=128,
+            # match the engine bench's read width so the pipeline reuses
+            # the warm jit programs instead of compiling an L=128 set
+            max_read_len=READ_LEN,
         ),
     )
     t = time.time()

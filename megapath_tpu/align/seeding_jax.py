@@ -292,15 +292,53 @@ def device_mmp_seed(
     lens = lens.astype(jnp.int32)
     walkers_i = walkers.astype(jnp.int32)
 
-    # natural-order k-mer values per start index (A-padded past end)
-    if k:
-        acc = jnp.zeros((Wn, L), dtype=jnp.int32)
-        for j in range(k):
-            shifted = jnp.pad(walkers_i[:, j:], ((0, 0), (0, j)))
-            acc = acc * 4 + shifted
-        km = acc
-    else:
-        km = jnp.zeros((Wn, L), dtype=jnp.int32)
+    # 2-bit packed walker words: char j lives at bits 2*(j%16) of word
+    # j//16. The per-step column picks then one-hot over L/16 word
+    # columns instead of L char columns (and the k-mer LUT value is
+    # recomposed from a 2-word window), cutting the dominant per-step
+    # stream from 2*Wn*L int32 reads to ~3*Wn*(L/16).
+    n_words = (L + 15) // 16
+    W16 = n_words + 1  # +1 pad word so j0//16 + 1 never overflows
+    Lp = n_words * 16
+    wpad = (
+        jnp.pad(walkers_i, ((0, 0), (0, Lp - L)))
+        .astype(jnp.uint32)
+        .reshape(Wn, n_words, 16)
+    )
+    body = jnp.zeros((Wn, n_words), jnp.uint32)
+    for t in range(16):
+        body = body | (wpad[:, :, t] << jnp.uint32(2 * t))
+    packed = jnp.pad(body, ((0, 0), (0, 1)))
+    cols16 = jnp.arange(W16, dtype=jnp.int32)[None, :]
+
+    def fetch_word(widx):
+        """packed[row, widx[row]] as a one-hot masked reduce."""
+        return jnp.sum(
+            jnp.where(cols16 == widx[:, None], packed, jnp.uint32(0)),
+            axis=1,
+        )
+
+    def char_at(j):
+        """walker char at per-row column j (rows past lens give 0)."""
+        jc = jnp.clip(j, 0, L - 1)
+        w = fetch_word(jc >> 4)
+        return ((w >> (2 * (jc & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
+
+    def kmer_at(j0):
+        """natural-order k-mer starting at per-row column j0 (A-padded
+        past the read end, matching the old precomputed km table)."""
+        jc = jnp.clip(j0, 0, L - 1)
+        b = (2 * (jc & 15)).astype(jnp.uint32)
+        w0 = fetch_word(jc >> 4)
+        w1 = fetch_word((jc >> 4) + 1)
+        chunk = (w0 >> b) | jnp.where(
+            b > 0, w1 << (jnp.uint32(32) - b), jnp.uint32(0)
+        )
+        v = jnp.zeros(Wn, jnp.int32)
+        for t in range(k):
+            ch = ((chunk >> jnp.uint32(2 * t)) & jnp.uint32(3)).astype(jnp.int32)
+            v = v | (ch << (2 * (k - 1 - t)))
+        return v
 
 
     class S(NamedTuple):
@@ -388,8 +426,11 @@ def device_mmp_seed(
 
         mid = idx_mask & ~end_mask  # mid-walk (fail) rows
         i = jnp.where(mid, s.i - (diff + jnp.minimum(sl, min_len) - 1), s.i)
+        # a walker whose output buffer just filled can store nothing
+        # more: retire it (identical output, no wasted loop steps)
         return s._replace(
             i=i,
+            active=s.active & (n_seeds < max_seeds),
             lo=jnp.where(mid, 0, s.lo),
             hi=jnp.where(mid, n_rows, s.hi),
             seed_len=jnp.where(
@@ -402,12 +443,6 @@ def device_mmp_seed(
             out_lo=out_lo,
             n_seeds=n_seeds,
         )
-
-    # fused pick table: one masked reduction serves both the k-mer
-    # value and the next-char lookups (per-op launch cost dominates)
-    if k:
-        stacked = jnp.concatenate([km, walkers_i], axis=0)  # (2Wn, L)
-        col_2l = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     def body(s: S) -> S:
         fresh = s.active & (s.seed_len == 0)
@@ -426,29 +461,14 @@ def device_mmp_seed(
         active = active & ~done
         ext = ext & ~done
 
-        # Per-row column picks use one-hot reductions: a 2D fancy
-        # gather lowers to a scalar loop on TPU, a masked row reduce
-        # stays on the VPU.
-        col_l = jnp.arange(L, dtype=jnp.int32)[None, :]
-
-        def pick(tab2d, j_of_row):
-            return jnp.sum(
-                jnp.where(col_l == j_of_row[:, None], tab2d, 0), axis=1
-            )
-
+        # Per-row column picks one-hot over the PACKED word columns
+        # (L/16 wide) instead of char columns: a 2D fancy gather lowers
+        # to a scalar loop on TPU, and the packed reduce streams ~16x
+        # less than the old per-char (2Wn, L) int32 plane.
         jj = jnp.clip(lens - 1 - s.i, 0, L - 1)
+        c = char_at(jj)
         if k:
-            j0 = jnp.clip(lens - s.i - k, 0, L - 1)
-            picked = jnp.sum(
-                jnp.where(
-                    col_2l == jnp.concatenate([j0, jj])[:, None], stacked, 0
-                ),
-                axis=1,
-            )
-            v = picked[:Wn]
-            c = picked[Wn:]
-        else:
-            c = pick(walkers_i, jj)
+            v = kmer_at(lens - s.i - k)
         c_ext = jnp.where(ext, c, 0)
 
         # ONE fused row gather serves both rank queries and the LUT:

@@ -72,13 +72,27 @@ def _cmd_run(args) -> int:
         device_seeding=not args.no_device_seeding,
         batch_size=args.batch_size,
     )
+    devices = None
+    if args.devices:
+        import jax
+
+        devices = jax.devices()[: args.devices]
+    prot_db = None
+    if args.protein_db:
+        from megapath_tpu.classify.protein import ProteinDB
+        from megapath_tpu.io.fastq import read_fastx as _rf
+
+        prot_db = ProteinDB.build(
+            [(r.name, r.seq) for r in _rf(args.protein_db)]
+        )
     pipe = MegaPathPipeline(
         nt_shards, db, hg_shard=hg, adapters=adapters, config=cfg,
-        ribo_shard=ribo,
+        ribo_shard=ribo, devices=devices,
     )
     res = pipe.run_files(
         args.r1, args.r2, args.prefix,
         assembly=args.assembly, megahit_bin=args.megahit_bin,
+        protein_db=prot_db,
     )
     print(
         f"[run] pairs in={res.n_input_pairs} preprocessed={res.n_after_preprocess} "
@@ -408,6 +422,12 @@ def main(argv=None) -> int:
     r.add_argument("-A", "--assembly", action="store_true",
                    help="assembly + protein remap stage (runMegaPath.sh:267-330)")
     r.add_argument("--megahit-bin", default=None)
+    r.add_argument("--protein-db", default=None,
+                   help="protein FASTA (NR-style, accessions 0x1-joined) "
+                        "for the stage-4.1 in-process blastx")
+    r.add_argument("--devices", type=int, default=0,
+                   help="distribute NT shard engines over the first N "
+                        "devices (0 = single device)")
     r.add_argument("--batch-size", type=int, default=500_000,
                    help="streaming read-pair batch size (SOAP4.cpp:206)")
     r.set_defaults(fn=_cmd_run)

@@ -28,11 +28,26 @@ import numpy as np
 from megapath_tpu.index.pack import encode_seq
 from megapath_tpu.io.fastq import FastqRecord, read_fastx
 
+# byte -> 2-bit code (non-ACGT -> 0 = 'A', Dedupe.baseToNumber default)
+_ENC_LUT = np.zeros(256, np.uint8)
+for _b, _v in zip(b"ACGTacgt", (0, 1, 2, 3, 0, 1, 2, 3)):
+    _ENC_LUT[_b] = _v
+_IS_ACGT_LUT = np.zeros(256, bool)
+_IS_ACGT_LUT[np.frombuffer(b"ACGTacgt", np.uint8)] = True
+
 NPROB = 0.75  # TrimRead.NPROB
 
 
+# QualityTools.PROB_ERROR (makeQualityToFloat): float32 10^(-q/10)
+# with the q=0 slot pinned to 0.8f, not 1.0
+_PROB_ERROR = np.power(
+    10.0, -0.1 * np.arange(127, dtype=np.float64)
+).astype(np.float32)
+_PROB_ERROR[0] = np.float32(0.8)
+
+
 def phred_error(q: np.ndarray) -> np.ndarray:
-    return np.power(10.0, -q.astype(np.float64) / 10.0)
+    return _PROB_ERROR[np.clip(np.asarray(q, np.int64), 0, 126)]
 
 
 # ---------------------------------------------------------------------------
@@ -139,11 +154,15 @@ def kmask(
     is_n: np.ndarray,
     ref: KmerRef,
     trim_pad: int = 0,
+    forbid_ns: bool = False,
 ) -> np.ndarray:
     """Mark spans covered by matching k-mers; returns bool (B, L) mask.
 
     A hit at k-mer end i masks [i-k+1-trimPad, i+trimPad]
-    (BBDuk2 kmask span semantics).
+    (BBDuk2 kmask span semantics). ``forbid_ns`` follows BBDuk2:559
+    ``forbidNs=(forbidNs_ || hammingDistance<1)``: the MegaPath driver
+    passes hdist=1 (runMegaPath.sh:119), so Ns are treated as 'A'
+    (Dedupe.baseToNumber default 0) and do NOT disqualify a k-mer.
     """
     B, L = codes.shape
     k = ref.k
@@ -153,8 +172,7 @@ def kmask(
     idx = np.searchsorted(ref.kmers, km)
     idx = np.minimum(idx, max(len(ref.kmers) - 1, 0))
     hit = valid & (len(ref.kmers) > 0) & (ref.kmers[idx] == km)
-    # k-mers containing an N never match (BBDuk skips kmers with Ns)
-    if is_n.any():
+    if forbid_ns and is_n.any():
         ncum = np.cumsum(is_n, axis=1)
         nprev = np.pad(ncum[:, :-1], ((0, 0), (1, 0)))
         first = np.maximum(np.arange(L)[None, :] - k + 1, 0)
@@ -300,22 +318,35 @@ def bbduk_pair(
     L = max_len
 
     def pack(recs):
+        """One concatenated-buffer scatter instead of per-record numpy
+        calls (the per-record loop cost ~14 s on a 40k-pair batch)."""
+        seqs = [r.seq[:L] for r in recs]
+        lens = np.fromiter((len(s) for s in seqs), np.int32, count=n)
+        total = int(lens.sum())
+        rows = np.repeat(np.arange(n), lens)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        cols = np.arange(total, dtype=np.int64) - offs[rows]
+        buf = np.frombuffer("".join(seqs).encode("latin1"), np.uint8)
+        raw = np.zeros((n, L), dtype=np.uint8)
         codes = np.zeros((n, L), dtype=np.uint8)
         is_n = np.zeros((n, L), dtype=bool)
         quals = np.zeros((n, L), dtype=np.int16)
-        lens = np.zeros(n, dtype=np.int32)
-        for i, r in enumerate(recs):
-            s = r.seq[:L]
-            codes[i, : len(s)] = encode_seq(s)
-            b = np.frombuffer(s.encode(), dtype=np.uint8)
-            is_n[i, : len(s)] = ~np.isin(b, np.frombuffer(b"ACGTacgt", np.uint8))
-            q = np.frombuffer(r.qual[: len(s)].encode(), dtype=np.uint8).astype(np.int16) - 33
-            quals[i, : len(q)] = q
-            lens[i] = len(s)
-        return codes, is_n, quals, lens
+        raw[rows, cols] = buf
+        codes[rows, cols] = _ENC_LUT[buf]
+        is_n[rows, cols] = ~_IS_ACGT_LUT[buf]
+        qs = [r.qual[: int(l_)] for r, l_ in zip(recs, lens)]
+        qlens = np.fromiter((len(q) for q in qs), np.int32, count=n)
+        qrows = np.repeat(np.arange(n), qlens)
+        qoffs = np.zeros(n + 1, np.int64)
+        np.cumsum(qlens, out=qoffs[1:])
+        qcols = np.arange(int(qlens.sum()), dtype=np.int64) - qoffs[qrows]
+        qbuf = np.frombuffer("".join(qs).encode("latin1"), np.uint8)
+        quals[qrows, qcols] = qbuf.astype(np.int16) - 33
+        return codes, is_n, quals, lens, raw
 
-    c1, n1, q1, l1 = pack(recs1)
-    c2, n2, q2, l2 = pack(recs2)
+    c1, n1, q1, l1, raw1 = pack(recs1)
+    c2, n2, q2, l2, raw2 = pack(recs2)
 
     out1: List[FastqRecord] = []
     out2: List[FastqRecord] = []
@@ -339,29 +370,50 @@ def bbduk_pair(
     len2 = e2 - s2
     ok = (len1 >= min_len) & (len2 >= min_len)
 
-    # entropy on the trimmed reads (N/masked count as A = 0 already)
-    ent_codes1 = np.zeros_like(c1)
-    ent_codes2 = np.zeros_like(c2)
-    for i in range(n):
-        if ok[i]:
-            ent_codes1[i, : len1[i]] = np.where(
-                (n1 | m1)[i, s1[i] : e1[i]], 0, c1[i, s1[i] : e1[i]]
-            )
-            ent_codes2[i, : len2[i]] = np.where(
-                (n2 | m2)[i, s2[i] : e2[i]], 0, c2[i, s2[i] : e2[i]]
-            )
-    ent1 = average_entropy(ent_codes1, np.where(ok, len1, 0))
-    ent2 = average_entropy(ent_codes2, np.where(ok, len2, 0))
+    # entropy on the trimmed reads (N/masked count as A = 0), shifted
+    # to column 0 with one take_along_axis per end
+    def shift_trimmed(codes, nn, start, length):
+        src = np.clip(start[:, None] + np.arange(L)[None, :], 0, L - 1)
+        vals = np.take_along_axis(np.where(nn, 0, codes), src, axis=1)
+        live = np.arange(L)[None, :] < length[:, None]
+        return np.where(live, vals, 0).astype(np.uint8)
+
+    ent1 = average_entropy(
+        shift_trimmed(c1, n1 | m1, s1, np.where(ok, len1, 0)),
+        np.where(ok, len1, 0),
+    )
+    ent2 = average_entropy(
+        shift_trimmed(c2, n2 | m2, s2, np.where(ok, len2, 0)),
+        np.where(ok, len2, 0),
+    )
     low = ok & ((ent1 < entropy_cutoff) | (ent2 < entropy_cutoff))
+
+    # kmask rewrites bases to 'N' AND zeroes their quality (BBDuk2
+    # kmask: "quals[i]=0" when trimSymbol=='N'); one vectorized pass
+    mseq1 = np.where(m1, np.uint8(ord("N")), raw1)
+    mseq2 = np.where(m2, np.uint8(ord("N")), raw2)
+    mq1 = np.where(m1, np.uint8(ord("!")), 0)
+    mq2 = np.where(m2, np.uint8(ord("!")), 0)
+
+    def rec_out(recs, mseq, mq, i, s_, e_):
+        r = recs[i]
+        seq = mseq[i, s_:e_].tobytes().decode("latin1")
+        q = r.qual[s_:e_]
+        row = mq[i, s_:e_]
+        if row.any():
+            qb = np.frombuffer(q.encode("latin1"), np.uint8).copy()
+            np.putmask(qb[: len(row)], row[: len(qb)] > 0, ord("!"))
+            q = qb.tobytes().decode("latin1")
+        return FastqRecord(r.name, seq, q, r.comment)
 
     for i in range(n):
         if not ok[i]:
             removed += 1
             continue
-        masked_seq1 = _apply_mask(recs1[i].seq, m1[i], s1[i], e1[i])
-        masked_seq2 = _apply_mask(recs2[i].seq, m2[i], s2[i], e2[i])
-        r1 = FastqRecord(recs1[i].name, masked_seq1, recs1[i].qual[s1[i] : e1[i]], recs1[i].comment)
-        r2 = FastqRecord(recs2[i].name, masked_seq2, recs2[i].qual[s2[i] : e2[i]], recs2[i].comment)
+        s1i, e1i = int(s1[i]), int(e1[i])
+        s2i, e2i = int(s2[i]), int(e2[i])
+        r1 = rec_out(recs1, mseq1, mq1, i, s1i, e1i)
+        r2 = rec_out(recs2, mseq2, mq2, i, s2i, e2i)
         if low[i]:
             lowc.extend([r1, r2])
         else:
@@ -369,10 +421,3 @@ def bbduk_pair(
             out2.append(r2)
     return BBDukResult(out1, out2, lowc, removed)
 
-
-def _apply_mask(seq: str, mask_row: np.ndarray, start: int, stop: int) -> str:
-    s = list(seq[start:stop])
-    for j in range(start, stop):
-        if mask_row[j]:
-            s[j - start] = "N"
-    return "".join(s)

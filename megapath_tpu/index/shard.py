@@ -1,11 +1,18 @@
 """Reference sharding: split a large FASTA into per-device index shards.
 
 Functional replacement for /root/reference/splitFasta.pl (cuts NT at
-3.9 Gbp because the 2bwt index uses 32-bit offsets). Our FM layout is
-also 32-bit-bounded on device (uint32 occ/rows), so the same default
-cap applies — but shards are processed *in parallel across the mesh*
-(SURVEY.md §2.7 item 6 TPU mapping) instead of the reference's
-sequential cascade with comment-carried hit merging.
+3.9 Gbp because the 2bwt index uses 32-bit offsets).
+
+**Shard-size design decision (pinned):** the device seeding path is
+int32 end-to-end (DeviceFM occ rows, SA values, seed positions), so
+the TPU shard cap is 2.0 Gbp — roughly half the reference's 3.9 Gbp,
+i.e. ~2x the shard count for the same NT build. This is the permanent
+design, not a stopgap: int32 keeps every hot array at half the HBM
+footprint and bandwidth of an int64 port, and shards are processed
+*in parallel across the mesh* (one shard per device column via
+``MegaPathPipeline(devices=...)`` or ``parallel.spmd``), so shard
+count scales with devices rather than wall-clock. A >2 Gbp shard
+fails loudly at ``DeviceFM.from_host`` (``fm.n < 2**31`` assert).
 """
 
 from __future__ import annotations
@@ -15,7 +22,11 @@ from typing import Iterator, List, Optional, Tuple
 
 from megapath_tpu.io.fastq import FastqRecord, read_fastx, write_fastq
 
-DEFAULT_SHARD_BP = int(3.9e9)  # splitFasta.pl:19
+# splitFasta.pl:19 uses 3.9e9 (2bwt 32-bit *offsets*); the device FM
+# uses int32 *signed* coordinates everywhere, so cap at 2.0 Gbp and
+# run twice the shards concurrently across the mesh instead
+DEFAULT_SHARD_BP = int(2.0e9)
+REFERENCE_SHARD_BP = int(3.9e9)  # splitFasta.pl:19 (host-only paths)
 
 
 def split_fasta(

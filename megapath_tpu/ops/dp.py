@@ -142,6 +142,100 @@ def sw_align_auto(
     return sw_align(reads, refs, read_lens, ref_lens, params=params)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "n_codes"))
+def sw_align_substmat(
+    reads: jnp.ndarray,  # uint8 [B, R] query codes (alphabet < n_codes)
+    refs: jnp.ndarray,  # uint8 [B, W] subject window codes
+    read_lens: jnp.ndarray,  # int32 [B]
+    ref_lens: jnp.ndarray,  # int32 [B]
+    subst: jnp.ndarray,  # int32 [n_codes, n_codes] substitution matrix
+    params: DPParams = DPParams(),
+    n_codes: int = 24,
+) -> DPResult:
+    """Batched affine-gap local alignment under an arbitrary
+    substitution matrix (BLOSUM62 for the translated protein path).
+
+    Same scan/prefix-max structure as ``sw_align``; the per-column
+    substitution row is fetched as a tiny one-hot matmul over the
+    query code and expanded over the subject with an n_codes-way
+    masked sum — both stay on the MXU/VPU instead of the scalar loop
+    a 2-D table gather lowers to on TPU.
+    """
+    B, R = reads.shape
+    W = refs.shape[1]
+    go = jnp.int32(params.gap_open)
+    ge = jnp.int32(params.gap_extend)
+
+    refs_i = refs.astype(jnp.int32)
+    reads_i = reads.astype(jnp.int32)
+    codes = jnp.arange(n_codes, dtype=jnp.int32)
+    # subject one-hot expansion, once per call: (n_codes, B, W) int8
+    refs_oh = (refs_i[None, :, :] == codes[:, None, None]).astype(jnp.int32)
+    row_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    row_valid = row_idx < ref_lens[:, None]
+    decay = row_idx * ge
+
+    def step(carry, j):
+        H_prev, F_prev, best, best_i, best_j = carry
+        read_c = jax.lax.dynamic_slice_in_dim(reads_i, j, 1, axis=1)[:, 0]
+        rowtab = jnp.sum(
+            jnp.where(
+                codes[None, :] == read_c[:, None], 1, 0
+            )[:, :, None]
+            * subst[None, :, :],
+            axis=1,
+        )  # (B, n_codes)
+        sub = jnp.einsum("abw,ba->bw", refs_oh, rowtab)  # (B, W)
+
+        F = jnp.maximum(H_prev + go, F_prev + ge)
+        H_shift = jnp.pad(H_prev[:, :-1], ((0, 0), (1, 0)))
+        M = H_shift + sub
+        H_noE = jnp.maximum(jnp.maximum(M, F), 0)
+        Y = H_noE + go - decay
+        Ycum = jax.lax.cummax(Y, axis=1)
+        Yshift = jnp.pad(Ycum[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
+        E = Yshift + decay - ge
+        H = jnp.maximum(H_noE, E)
+
+        col_valid = j < read_lens
+        Hv = jnp.where(row_valid & col_valid[:, None], H, 0)
+        col_best = jnp.max(Hv, axis=1)
+        col_arg = jnp.argmax(Hv, axis=1).astype(jnp.int32)
+        better = col_best > best
+        best = jnp.where(better, col_best, best)
+        best_i = jnp.where(better, col_arg + 1, best_i)
+        best_j = jnp.where(better, j + 1, best_j)
+
+        H = jnp.where(col_valid[:, None], H, H_prev)
+        F = jnp.where(col_valid[:, None], F, F_prev)
+        return (H, F, best, best_i, best_j), None
+
+    H0 = jnp.zeros((B, W), dtype=jnp.int32)
+    F0 = jnp.full((B, W), NEG, dtype=jnp.int32)
+    z = jnp.zeros(B, dtype=jnp.int32)
+    (H, F, best, best_i, best_j), _ = jax.lax.scan(
+        step, (H0, F0, z, z, z), jnp.arange(R, dtype=jnp.int32)
+    )
+    return DPResult(score=best, end_ref=best_i, end_read=best_j)
+
+
+def sw_align_protein(
+    reads: jnp.ndarray,
+    refs: jnp.ndarray,
+    read_lens: jnp.ndarray,
+    ref_lens: jnp.ndarray,
+    params: DPParams = DPParams(match=0, mismatch=0, gap_open=-11,
+                                gap_extend=-1),
+) -> DPResult:
+    """BLOSUM62 local alignment (the AC-DIAMOND blastx scoring)."""
+    from megapath_tpu.classify.protein import BLOSUM62, N_AA
+
+    return sw_align_substmat(
+        reads, refs, read_lens, ref_lens, jnp.asarray(BLOSUM62),
+        params=params, n_codes=N_AA,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle + traceback (host-side, for tests and CIGAR of reported hits)
 # ---------------------------------------------------------------------------

@@ -223,3 +223,69 @@ def assembly_path(
                 )
             )
     return AssemblyResult(contigs, r2c)
+
+
+def protein_remap(
+    asm: "AssemblyResult",
+    recs1: Sequence[FastqRecord],
+    recs2: Sequence[FastqRecord],
+    prot_db,
+    taxdb,
+    cutoff: int = 40,
+):
+    """Stage 4.1 (runMegaPath.sh:300-325): translated search of the
+    contigs + still-unmapped reads against the protein DB, taxid
+    lookup, transitive read->contig->genome join, and the NR report.
+
+    The in-process ``classify.protein.blastx`` replaces the external
+    ``ac-diamond blastx | view -o m8`` pair; everything downstream is
+    the byte-paritied m8 -> lsam -> taxLookupAcc -> genKrakenReport
+    tail. DB subject names carry accessions joined by the literal
+    "0x1" exactly like the MegaPath NR build (m8_to_lsam.pl:20-45).
+
+    Returns (nr_lsam_id_records, r2g_records, nr_report_text).
+    """
+    from megapath_tpu.classify.extras import m8_to_lsam, r2c_to_r2g
+    from megapath_tpu.classify.protein import blastx_m8
+    from megapath_tpu.classify.taxlookup import tax_lookup_line
+    from megapath_tpu.index.pack import encode_seq
+    from megapath_tpu.io.lsam import LsamRecord, parse_lsam_line
+    from megapath_tpu.taxonomy.report import KrakenReport
+
+    import numpy as np
+
+    # contig.unmap.fa: reads whose read->contig score stayed below the
+    # cutoff (extractFromLSAM -t), plus every contig renamed contig_<i>
+    best_r2c = {rec.name: rec.score for rec in asm.read2contig}
+    queries = []
+    for r in list(recs1) + list(recs2):
+        if best_r2c.get(r.name, 0) < cutoff:
+            queries.append((r.name, encode_seq(r.seq)))
+    for i, c in enumerate(asm.contigs):
+        queries.append((f"contig_{i}", encode_seq(c)))
+
+    m8_lines = blastx_m8(queries, prot_db)
+    nr_lsam = list(m8_to_lsam(m8_lines))
+
+    # taxLookupAcc on the protein hits (prot.accession2taxid contract)
+    nr_lsam_id = [
+        parse_lsam_line(tax_lookup_line(taxdb, rec.to_line()))
+        for rec in nr_lsam
+    ]
+
+    # read -> contig -> genome transitive join (r2c_to_r2g.pl)
+    r2g = list(r2c_to_r2g(asm.read2contig, nr_lsam_id, threshold=cutoff))
+
+    # nr.report: genKrakenReport over nr.lsam.id + r2g minus contig_*
+    # rows (runMegaPath.sh:324 "grep -v '^contig_'")
+    rows = [r for r in nr_lsam_id if not r.name.startswith("contig_")] + r2g
+    rpt = KrakenReport(taxdb)
+    scores = np.array([r.score for r in rows], dtype=np.int64)
+    lcas = np.zeros(len(rows), dtype=np.int64)
+    for i, r in enumerate(rows):
+        tids = [int(t) for _, t in r.hits if t.lstrip("-").isdigit()]
+        tids = [t for t in tids if t > 0]
+        lcas[i] = taxdb.lca(tids) if tids else 0
+    eff = np.where(lcas > 0, scores, -1)
+    rpt.add_lsam_batch(eff, lcas, cutoff)
+    return nr_lsam_id, r2g, rpt.format()

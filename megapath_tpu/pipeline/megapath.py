@@ -151,6 +151,7 @@ class MegaPathPipeline:
         batch_size: Optional[int] = None,
         assembly: bool = False,
         megahit_bin: Optional[str] = None,
+        protein_db=None,
     ) -> PipelineResult:
         """Streaming file driver (the runMegaPath.sh equivalent).
 
@@ -314,7 +315,8 @@ class MegaPathPipeline:
         if assembly and not os.path.exists(out_prefix + ".assembly.done"):
             with timer.stage("assembly"):
                 self._assembly_stage(
-                    r1_path, r2_path, out_prefix, megahit_bin
+                    r1_path, r2_path, out_prefix, megahit_bin,
+                    protein_db=protein_db,
                 )
             with open(out_prefix + ".assembly.done", "w") as f:
                 f.write("ok\n")
@@ -334,16 +336,19 @@ class MegaPathPipeline:
         )
 
     def _assembly_stage(
-        self, r1_path, r2_path, out_prefix: str, megahit_bin: Optional[str]
+        self, r1_path, r2_path, out_prefix: str, megahit_bin: Optional[str],
+        protein_db=None,
     ) -> None:
         """Stage 4/4.1 (-A, runMegaPath.sh:267-330): extract viral +
         unmapped pairs from the filtered LSAM, bbnorm + assemble, map
-        reads back to contigs; protein remap attaches via the m8
-        import hook (classify.extras.m8_to_lsam)."""
+        reads back to contigs; stage 4.1 runs the in-process blastx
+        (classify.protein) when a protein DB is supplied, else the m8
+        import hook (classify.extras.m8_to_lsam) remains available."""
         from megapath_tpu.io.lsam import read_lsam
         from megapath_tpu.pipeline.assembly import (
             assembly_path,
             extract_viral_and_unmapped,
+            protein_remap,
         )
 
         lsam_id = list(read_lsam(out_prefix + ".nt.lsam.id"))
@@ -361,6 +366,19 @@ class MegaPathPipeline:
         with open(out_prefix + ".r2c.lsam", "w") as f:
             for rec in res.read2contig:
                 f.write(rec.to_line() + "\n")
+        if protein_db is not None:
+            nr_lsam_id, r2g, nr_report = protein_remap(
+                res, v1, v2, protein_db, self.taxdb,
+                cutoff=self.cfg.nt_cutoff,
+            )
+            with open(out_prefix + ".nr.lsam.id", "w") as f:
+                for rec in nr_lsam_id:
+                    f.write(rec.to_line() + "\n")
+            with open(out_prefix + ".nt.unmap.r2g.lsam.id", "w") as f:
+                for rec in r2g:
+                    f.write(rec.to_line() + "\n")
+            with open(out_prefix + ".nr.report", "w") as f:
+                f.write(nr_report)
 
     # ------------------------------------------------------------------
     def _filter_batch(

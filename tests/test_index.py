@@ -184,3 +184,40 @@ def test_smart_pairing():
     pairs, singles = smart_pairing(recs)
     assert [r.name for r in pairs] == ["a", "a", "c", "c"]
     assert [r.name for r in singles] == ["b"]
+
+
+def test_split_fasta_shard_cap(tmp_path):
+    """Splitter packs sequences up to max_bp per shard; an oversized
+    sequence gets its own shard (splitFasta.pl semantics, with the
+    TPU 2 Gbp default pinned in index/shard.py)."""
+    from megapath_tpu.index.shard import DEFAULT_SHARD_BP, split_fasta
+    from megapath_tpu.io.fastq import read_fastx
+
+    assert DEFAULT_SHARD_BP == int(2.0e9)  # pinned design decision
+    p = tmp_path / "ref.fa"
+    seqs = [("a", "A" * 50), ("b", "C" * 40), ("c", "G" * 70),
+            ("d", "T" * 150), ("e", "A" * 10)]
+    with open(p, "w") as f:
+        for n, s in seqs:
+            f.write(f">{n}\n{s}\n")
+    shards = split_fasta(p, str(tmp_path / "out"), max_bp=100)
+    got = [[(r.name, len(r.seq)) for r in read_fastx(sp)] for sp in shards]
+    # a+b fit in 100; c starts a new shard; d oversized -> own shard
+    assert got == [
+        [("a", 50), ("b", 40)],
+        [("c", 70)],
+        [("d", 150)],
+        [("e", 10)],
+    ]
+
+
+def test_device_fm_rejects_oversized_shard():
+    """>2^31 shard must fail loudly at device-index construction."""
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+
+    from megapath_tpu.align.seeding_jax import DeviceFM
+
+    with _pytest.raises(AssertionError, match="2\\^31|2\\*\\*31|shard"):
+        DeviceFM.from_host(SimpleNamespace(n=2**31))
