@@ -311,34 +311,32 @@ def device_mmp_seed(
     packed = jnp.pad(body, ((0, 0), (0, 1)))
     cols16 = jnp.arange(W16, dtype=jnp.int32)[None, :]
 
-    def fetch_word(widx):
-        """packed[row, widx[row]] as a one-hot masked reduce."""
+    def fetch_words3(a, b, c):
+        """packed[row, {a,b,c}[row]] in ONE masked reduce (one kernel
+        per loop iteration instead of three)."""
+        idx = jnp.stack([a, b, c], axis=1)  # [Wn, 3]
+        hit = cols16[:, None, :] == idx[:, :, None]  # [Wn, 3, W16]
         return jnp.sum(
-            jnp.where(cols16 == widx[:, None], packed, jnp.uint32(0)),
-            axis=1,
-        )
+            jnp.where(hit, packed[:, None, :], jnp.uint32(0)), axis=2
+        )  # [Wn, 3]
 
-    def char_at(j):
-        """walker char at per-row column j (rows past lens give 0)."""
+    def char_and_kmer(j, j0):
+        """(walker char at column j, k-mer starting at column j0) —
+        A-padded past the read end like the old precomputed km table."""
         jc = jnp.clip(j, 0, L - 1)
-        w = fetch_word(jc >> 4)
-        return ((w >> (2 * (jc & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
-
-    def kmer_at(j0):
-        """natural-order k-mer starting at per-row column j0 (A-padded
-        past the read end, matching the old precomputed km table)."""
-        jc = jnp.clip(j0, 0, L - 1)
-        b = (2 * (jc & 15)).astype(jnp.uint32)
-        w0 = fetch_word(jc >> 4)
-        w1 = fetch_word((jc >> 4) + 1)
-        chunk = (w0 >> b) | jnp.where(
-            b > 0, w1 << (jnp.uint32(32) - b), jnp.uint32(0)
+        j0c = jnp.clip(j0, 0, L - 1)
+        w3 = fetch_words3(jc >> 4, j0c >> 4, (j0c >> 4) + 1)
+        cw, w0, w1 = w3[:, 0], w3[:, 1], w3[:, 2]
+        ch = ((cw >> (2 * (jc & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
+        bshift = (2 * (j0c & 15)).astype(jnp.uint32)
+        chunk = (w0 >> bshift) | jnp.where(
+            bshift > 0, w1 << (jnp.uint32(32) - bshift), jnp.uint32(0)
         )
         v = jnp.zeros(Wn, jnp.int32)
         for t in range(k):
-            ch = ((chunk >> jnp.uint32(2 * t)) & jnp.uint32(3)).astype(jnp.int32)
-            v = v | (ch << (2 * (k - 1 - t)))
-        return v
+            cc = ((chunk >> jnp.uint32(2 * t)) & jnp.uint32(3)).astype(jnp.int32)
+            v = v | (cc << (2 * (k - 1 - t)))
+        return ch, v
 
 
     class S(NamedTuple):
@@ -466,27 +464,31 @@ def device_mmp_seed(
         # to a scalar loop on TPU, and the packed reduce streams ~16x
         # less than the old per-char (2Wn, L) int32 plane.
         jj = jnp.clip(lens - 1 - s.i, 0, L - 1)
-        c = char_at(jj)
         if k:
-            v = kmer_at(lens - s.i - k)
+            c, v = char_and_kmer(jj, lens - s.i - k)
+        else:
+            c, _ = char_and_kmer(jj, jj)
         c_ext = jnp.where(ext, c, 0)
 
-        # ONE fused row gather serves both rank queries and the LUT:
-        # [block(lo), block(hi), lut_base + kmer] into fused_rows
+        # ONE fused row gather serves both rank queries and the LUT —
+        # and a fresh walker needs only its LUT row (its lo/hi are
+        # dead), so the LUT index rides the lo slot: 2 gather rows per
+        # walker per step instead of 3.
         adj_lo = s.lo - (s.lo > dfm.primary).astype(jnp.int32)
         adj_hi = s.hi - (s.hi > dfm.primary).astype(jnp.int32)
         blk_lo = adj_lo // OCC_BLOCK
         blk_hi = adj_hi // OCC_BLOCK
         if k:
-            allidx = jnp.concatenate([blk_lo, blk_hi, dfm.lut_base + v])
-            rows = jnp.take(dfm.fused_rows, allidx, axis=0)
-            occ_rows = rows[: 2 * Wn]
-            lut_lo = rows[2 * Wn :, 0].astype(jnp.int32)
-            lut_hi = rows[2 * Wn :, 1].astype(jnp.int32)
+            idx1 = jnp.where(fresh, dfm.lut_base + v, blk_lo)
         else:
-            occ_rows = jnp.take(
-                dfm.fused_rows, jnp.concatenate([blk_lo, blk_hi]), axis=0
-            )
+            idx1 = blk_lo
+        rows = jnp.take(
+            dfm.fused_rows, jnp.concatenate([idx1, blk_hi]), axis=0
+        )
+        occ_rows = rows  # fresh rows hold LUT data: masked out below
+        if k:
+            lut_lo = rows[:Wn, 0].astype(jnp.int32)
+            lut_hi = rows[:Wn, 1].astype(jnp.int32)
         rel = jnp.concatenate(
             [adj_lo - blk_lo * OCC_BLOCK, adj_hi - blk_hi * OCC_BLOCK]
         )
