@@ -67,6 +67,11 @@ def build_workload():
     ]
     ref = pack_fasta(recs)
     t = time.time()
+    # lut_k=8, NOT the reference's LOOKUP_SIZE=13: measured on v5e,
+    # k=13 is a net loss (34.0k vs 38.1k reads/s) — the 536 MB LUT
+    # makes every fresh-walker gather a cold HBM row, and the lockstep
+    # loop cannot cash in soap4's empty-bucket early exits (all walkers
+    # step together regardless). 65k buckets stay cache-resident.
     fm = build_fm_index(ref.codes, sa_interval=8, lut_k=8)
     log(f"index built in {time.time()-t:.1f}s")
     ref.save(ref_p)

@@ -37,19 +37,18 @@ class DeviceFM:
     compile-time constants.
     """
 
-    def __init__(self, n, primary, bwt_words, fused_rows, lut_base, counts,
-                 lut_k, mark_bits, sa_sampled, sa_interval):
+    def __init__(self, n, primary, bwt_words, fused_rows, lut_pairs,
+                 counts, lut_k, mark_bits, sa_sampled, sa_interval):
         self.n = n
         self.primary = primary
         self.bwt_words = bwt_words  # uint32 [n_words]
-        # fused uint32 row table, one gather launch serves every lookup
-        # the seeding loop makes (per-gather launch cost dominated the
-        # loop, see git history):
-        #   rows [0, lut_base):  occ checkpoint (4 counts) || the
-        #                        block's packed BWT words
-        #   rows [lut_base, .):  k-mer LUT (lo, hi) rows, zero padded
+        # fused uint32 occ row table, one gather launch per rank batch:
+        # row b = occ checkpoint (4 counts) || the block's packed BWT
+        # words. The k-mer LUT lives in its own (4^k, 2) pairs table —
+        # at the production LOOKUP_K=13 it would multiply the fused
+        # table 8x (32 B/row for a 2-value payload).
         self.fused_rows = fused_rows
-        self.lut_base = lut_base  # == n_blocks + 1
+        self.lut_pairs = lut_pairs  # uint32 [4^k, 2] (lo, hi) rows
         self.counts = counts  # int32 [5]
         self.lut_k = lut_k
         self.mark_bits = mark_bits  # int32 [n+2] prefix rank of marks
@@ -57,17 +56,16 @@ class DeviceFM:
         self.sa_interval = sa_interval
 
     def tree_flatten(self):
-        leaves = (self.bwt_words, self.fused_rows, self.counts,
-                  self.mark_bits, self.sa_sampled)
-        aux = (self.n, self.primary, self.lut_base, self.lut_k,
-               self.sa_interval)
+        leaves = (self.bwt_words, self.fused_rows, self.lut_pairs,
+                  self.counts, self.mark_bits, self.sa_sampled)
+        aux = (self.n, self.primary, self.lut_k, self.sa_interval)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, primary, lut_base, lut_k, sa_interval = aux
-        bwt_words, fused_rows, counts, mark_bits, sa_sampled = leaves
-        return cls(n, primary, bwt_words, fused_rows, lut_base, counts,
+        n, primary, lut_k, sa_interval = aux
+        bwt_words, fused_rows, lut_pairs, counts, mark_bits, sa_sampled = leaves
+        return cls(n, primary, bwt_words, fused_rows, lut_pairs, counts,
                    lut_k, mark_bits, sa_sampled, sa_interval)
 
     @classmethod
@@ -84,20 +82,23 @@ class DeviceFM:
         wpb = OCC_BLOCK // WORD_CHARS
         words2d = fm.bwt_words.reshape(-1, wpb)
         n_blocks = fm.occ.shape[0] - 1
-        n_lut = (4 ** lut_k) if lut_k else 0
-        fused = np.zeros((n_blocks + 1 + n_lut, 4 + wpb), dtype=np.uint32)
-        fused[: n_blocks + 1, :4] = fm.occ.astype(np.uint32)
+        fused = np.zeros((n_blocks + 1, 4 + wpb), dtype=np.uint32)
+        fused[:, :4] = fm.occ.astype(np.uint32)
         m = min(n_blocks, words2d.shape[0])
         fused[:m, 4:] = words2d[:m]
         if lut_k:
-            fused[n_blocks + 1 :, 0] = fm.lut_lo.astype(np.uint32)
-            fused[n_blocks + 1 :, 1] = fm.lut_hi.astype(np.uint32)
+            lut_pairs = np.stack(
+                [fm.lut_lo.astype(np.uint32), fm.lut_hi.astype(np.uint32)],
+                axis=1,
+            )
+        else:
+            lut_pairs = np.zeros((1, 2), np.uint32)
         return cls(
             n=int(fm.n),
             primary=int(fm.primary),
             bwt_words=put(fm.bwt_words),
             fused_rows=put(fused),
-            lut_base=n_blocks + 1,
+            lut_pairs=put(lut_pairs),
             counts=put(fm.counts.astype(np.int32)),
             lut_k=int(lut_k),
             mark_bits=put(fm.mark_rank.astype(np.int32)),
@@ -470,25 +471,21 @@ def device_mmp_seed(
             c, _ = char_and_kmer(jj, jj)
         c_ext = jnp.where(ext, c, 0)
 
-        # ONE fused row gather serves both rank queries and the LUT —
-        # and a fresh walker needs only its LUT row (its lo/hi are
-        # dead), so the LUT index rides the lo slot: 2 gather rows per
-        # walker per step instead of 3.
+        # fused occ rows serve both rank queries in one gather; the
+        # k-mer LUT (own (4^k, 2) table — LOOKUP_K=13 would blow the
+        # fused layout up 8x) is a second small gather for fresh rows
         adj_lo = s.lo - (s.lo > dfm.primary).astype(jnp.int32)
         adj_hi = s.hi - (s.hi > dfm.primary).astype(jnp.int32)
         blk_lo = adj_lo // OCC_BLOCK
         blk_hi = adj_hi // OCC_BLOCK
-        if k:
-            idx1 = jnp.where(fresh, dfm.lut_base + v, blk_lo)
-        else:
-            idx1 = blk_lo
-        rows = jnp.take(
-            dfm.fused_rows, jnp.concatenate([idx1, blk_hi]), axis=0
+        occ_rows = jnp.take(
+            dfm.fused_rows, jnp.concatenate([blk_lo, blk_hi]), axis=0
         )
-        occ_rows = rows  # fresh rows hold LUT data: masked out below
         if k:
-            lut_lo = rows[:Wn, 0].astype(jnp.int32)
-            lut_hi = rows[:Wn, 1].astype(jnp.int32)
+            lut = jnp.take(
+                dfm.lut_pairs, jnp.where(fresh, v, 0), axis=0
+            ).astype(jnp.int32)
+            lut_lo, lut_hi = lut[:, 0], lut[:, 1]
         rel = jnp.concatenate(
             [adj_lo - blk_lo * OCC_BLOCK, adj_hi - blk_hi * OCC_BLOCK]
         )

@@ -121,3 +121,155 @@ def smart_pairing(
     if last is not None:
         singles.append(last)
     return pairs, singles
+
+
+# ---------------------------------------------------------------------------
+# DB construction: createDB / filterDB / selectSameSpecieGenome /
+# surpiAnn2id (cc/createDB.cpp, cc/filterDB.cpp,
+# cc/selectSameSpecieGenome.cc, cc/surpiAnn2id.cpp)
+# ---------------------------------------------------------------------------
+
+
+def header2acc(header: str) -> List[str]:
+    """All accessions in a (possibly \\x01-concatenated) FASTA header,
+    versions stripped (createDB.cpp:29-70). Handles gnl|uv| UniVec
+    headers, old-style gi|..|xx|ACC| headers, and bare accessions."""
+    from megapath_tpu.taxonomy.taxdb import remove_version
+
+    out: List[str] = []
+    if header.startswith("gnl|uv|"):
+        end = header.find(":")
+        return [remove_version(header[7 : end if end >= 0 else len(header)])]
+    start = 0
+    end = header.find("|")
+    while start != -1:
+        if end != -1 and header[start:end] == "gi":
+            s1 = header.find("|", end + 1)
+            s2 = header.find("|", s1 + 1)
+            s3 = header.find("|", s2 + 1)
+            out.append(remove_version(header[s2 + 1 : s3]))
+            start = header.find("\x01", s3 + 1)
+        else:
+            end = start
+            while (end < len(header) and not header[end].isspace()
+                   and header[end] != "\x01" and header[end] != "|"):
+                end += 1
+            out.append(remove_version(header[start:end]))
+            start = -1 if end == len(header) else header.find("\x01", end)
+        if start == -1:
+            return out
+        start += 1
+        end = header.find("|", start)
+    return out
+
+
+def _belongs_to(taxdb, acc: str, names) -> bool:
+    tid = taxdb.acc2tid.get(acc, 0)
+    while tid > 1:
+        if taxdb.name_of(tid) in names:
+            return True
+        tid = int(taxdb.parent[tid])
+    return False
+
+
+def create_db(
+    nt_records: Iterable[FastqRecord],
+    uv_records: Iterable[FastqRecord],
+    hg_records: Iterable[FastqRecord],
+    taxdb,
+) -> Iterator[FastqRecord]:
+    """createDB: drop NCBI-nt sequences that are 'artificial sequences'
+    or have no taxonomy mapping; append UniVec + human; reformat every
+    header to the comma-joined accession list (createDB.cpp:95-140)."""
+    for rec in nt_records:
+        accs = header2acc(
+            rec.name + (" " + rec.comment if rec.comment else "")
+        )
+        kept = [
+            a for a in accs
+            if taxdb.acc2tid.get(a) is not None
+            and not _belongs_to(taxdb, a, ("artificial sequences",))
+        ]
+        if kept:
+            yield FastqRecord(",".join(kept), rec.seq, "", "")
+    for recs in (uv_records, hg_records):
+        for rec in recs:
+            accs = header2acc(
+                rec.name + (" " + rec.comment if rec.comment else "")
+            )
+            if accs:
+                yield FastqRecord(",".join(accs), rec.seq, "", "")
+
+
+def filter_db(
+    records: Iterable[FastqRecord], taxdb, tax_names: Sequence[str]
+) -> Iterator[FastqRecord]:
+    """filterDB: drop sequences whose ANY accession belongs to one of
+    the named taxa (filterDB.cpp:80-108); others pass unchanged."""
+    names = set(tax_names)
+    for rec in records:
+        accs = header2acc(
+            rec.name + (" " + rec.comment if rec.comment else "")
+        )
+        if any(_belongs_to(taxdb, a, names) for a in accs):
+            continue
+        yield rec
+
+
+def select_same_species_genome(
+    records: Iterable[FastqRecord],
+    taxdb,
+    target_tids: Sequence[int],
+    seed: int = 10086,
+) -> List[FastqRecord]:
+    """selectSameSpecieGenome: reservoir-sample ONE 'complete genome'
+    per target species (tids popped to species rank,
+    selectSameSpecieGenome.cc:31-60)."""
+    import random
+
+    from megapath_tpu.taxonomy.taxdb import get_correct_acc, remove_version
+
+    rng = random.Random(seed)
+    species = {}
+    for t in target_tids:
+        sp = taxdb.pop_to_species(int(t))
+        if sp and sp not in species:
+            species[sp] = None
+    seen = {sp: 0 for sp in species}
+    for rec in records:
+        acc = remove_version(get_correct_acc(rec.name))
+        tid = taxdb.pop_to_species(taxdb.acc2tid.get(acc, 0))
+        if tid in species and "complete genome" in (rec.comment or ""):
+            seen[tid] += 1
+            if rng.randrange(seen[tid]) == 0:
+                species[tid] = rec
+    return [species[sp] for sp in species if seen[sp] > 0]
+
+
+def surpi_ann2id(names_dmp_path, ann_lines: Iterable[str]) -> Iterator[str]:
+    """surpiAnn2id: SURPI annotation -> 'acc<TAB>taxid' using the
+    scientific-name table with spaces folded to '_'
+    (surpiAnn2id.cpp:15-80)."""
+    from megapath_tpu.io.fastq import open_maybe_gz
+
+    name2tid = {}
+    with open_maybe_gz(names_dmp_path, "rt") as f:
+        for line in f:
+            if "scientific name" not in line:
+                continue
+            parts = [p.strip() for p in line.split("|")]
+            name2tid[parts[1].replace(" ", "_")] = int(parts[0])
+    for line in ann_lines:
+        cols = line.rstrip("\n").split("\t")
+        acc = cols[0]
+        h = acc.rfind("#")
+        if h >= 0:
+            acc = acc[:h]
+        tid = 0
+        for c in cols[1:]:
+            if c.startswith("species--"):
+                tid = name2tid.get(
+                    c[9:].strip().replace(" ", "_").replace("\t", "_"), 0
+                )
+                break
+        yield f"{acc}\t{tid}"

@@ -63,7 +63,10 @@ def build_shard_indexes(
     shard_paths: List[str],
     out_dir: str,
     sa_interval: int = 8,
-    lut_k: int = 13,
+    # lut_k=8 (not the 2bwt LOOKUP_SIZE=13): the lockstep device walk
+    # gains nothing from empty-bucket exits and the 4^13 LUT gathers
+    # cold HBM rows — measured 10% slower on v5e (bench.py note)
+    lut_k: int = 8,
 ) -> List[Tuple[str, str]]:
     """Build (packed-ref, fm-index) npz pairs for every shard."""
     from megapath_tpu.index.fm import build_fm_index

@@ -278,3 +278,45 @@ def read_bam(fileobj) -> Tuple[str, List[str]]:
             )
         )
     return header_text, lines
+
+
+def sort_sam_lines(header_text: str, sam_lines: List[str]) -> List[str]:
+    """Coordinate sort (samtools sort order: reference index from the
+    @SQ order, then POS; unmapped '*' records last, input-stable)."""
+    order = {}
+    for line in header_text.splitlines():
+        if line.startswith("@SQ"):
+            d = dict(
+                f.split(":", 1) for f in line.split("\t")[1:] if ":" in f
+            )
+            order[d["SN"]] = len(order)
+    unmapped = len(order)
+
+    def key(item):
+        i, line = item
+        c = line.split("\t", 5)
+        rid = order.get(c[2], unmapped)
+        pos = int(c[3]) if c[3].isdigit() else 0
+        return (rid, pos, i)
+
+    return [l for _, l in sorted(enumerate(sam_lines), key=lambda x: key(x))]
+
+
+def merge_bams(fileobjs, out_fileobj) -> None:
+    """samtools merge equivalent for the per-shard ``-b`` BAMs
+    (runMegaPath.sh shard outputs): headers must agree on @SQ lines;
+    records re-sort by coordinate across inputs."""
+    header = None
+    all_lines: List[str] = []
+    sq = None
+    for f in fileobjs:
+        h, lines = read_bam(f)
+        h_sq = [l for l in h.splitlines() if l.startswith("@SQ")]
+        if header is None:
+            header, sq = h, h_sq
+        elif h_sq != sq:
+            raise ValueError("merge_bams: @SQ headers differ between inputs")
+        all_lines.extend(lines)
+    if header is None:
+        raise ValueError("merge_bams: no inputs")
+    write_bam(out_fileobj, header, sort_sam_lines(header, all_lines))

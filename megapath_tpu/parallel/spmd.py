@@ -59,6 +59,7 @@ class StackedFM(NamedTuple):
 
     bwt_words: jnp.ndarray  # [S, n_words] uint32
     fused_rows: jnp.ndarray  # [S, R, C] uint32
+    lut_pairs: jnp.ndarray  # [S, 4^k, 2] uint32
     counts: jnp.ndarray  # [S, 5] int32
     mark_bits: jnp.ndarray  # [S, n+2] int32
     sa_sampled: jnp.ndarray  # [S, n_marked_max] int32
@@ -69,7 +70,6 @@ class FMMeta(NamedTuple):
     """Static (shard-invariant) FM metadata."""
 
     n: int
-    lut_base: int
     lut_k: int
     sa_interval: int
 
@@ -85,14 +85,11 @@ def stack_fms(fms: Sequence[FMIndex]) -> Tuple[StackedFM, FMMeta]:
     dfms = [DeviceFM.from_host(fm) for fm in fms]
     meta = FMMeta(
         n=dfms[0].n,
-        lut_base=dfms[0].lut_base,
         lut_k=dfms[0].lut_k,
         sa_interval=dfms[0].sa_interval,
     )
     for d in dfms[1:]:
-        if (d.lut_base, d.lut_k, d.sa_interval) != (
-            meta.lut_base, meta.lut_k, meta.sa_interval
-        ):
+        if (d.lut_k, d.sa_interval) != (meta.lut_k, meta.sa_interval):
             raise ValueError("shard FM build parameters differ")
     nm = max(int(d.sa_sampled.shape[0]) for d in dfms)
 
@@ -103,6 +100,7 @@ def stack_fms(fms: Sequence[FMIndex]) -> Tuple[StackedFM, FMMeta]:
     stacked = StackedFM(
         bwt_words=jnp.asarray(np.stack([np.asarray(d.bwt_words) for d in dfms])),
         fused_rows=jnp.asarray(np.stack([np.asarray(d.fused_rows) for d in dfms])),
+        lut_pairs=jnp.asarray(np.stack([np.asarray(d.lut_pairs) for d in dfms])),
         counts=jnp.asarray(np.stack([np.asarray(d.counts) for d in dfms])),
         mark_bits=jnp.asarray(np.stack([np.asarray(d.mark_bits) for d in dfms])),
         sa_sampled=jnp.asarray(np.stack([pad_sa(d) for d in dfms])),
@@ -190,11 +188,11 @@ def build_spmd_engine_step(
             primary=primary[0],
             bwt_words=fm_leaves[0][0],
             fused_rows=fm_leaves[1][0],
-            lut_base=meta.lut_base,
-            counts=fm_leaves[2][0],
+            lut_pairs=fm_leaves[2][0],
+            counts=fm_leaves[3][0],
             lut_k=meta.lut_k,
-            mark_bits=fm_leaves[3][0],
-            sa_sampled=fm_leaves[4][0],
+            mark_bits=fm_leaves[4][0],
+            sa_sampled=fm_leaves[5][0],
             sa_interval=meta.sa_interval,
         )
         ref = ref_local[0]
@@ -345,7 +343,7 @@ def build_spmd_engine_step(
         local_step,
         mesh=mesh,
         in_specs=(
-            (P("shard"),) * 5,  # fm leaves (trailing dims replicated)
+            (P("shard"),) * 6,  # fm leaves (trailing dims replicated)
             P("shard"),  # primary
             P("shard"),  # ref_codes
             P("shard"),  # true_n
@@ -364,8 +362,8 @@ def build_spmd_engine_step(
 
     def step(sfm: StackedFM, ref_codes, true_n, seq_offsets, seq_species,
              reads1, reads2, lens1, lens2):
-        leaves = (sfm.bwt_words, sfm.fused_rows, sfm.counts,
-                  sfm.mark_bits, sfm.sa_sampled)
+        leaves = (sfm.bwt_words, sfm.fused_rows, sfm.lut_pairs,
+                  sfm.counts, sfm.mark_bits, sfm.sa_sampled)
         return SpmdAlignOut(*shmapped(
             leaves, sfm.primary, ref_codes, true_n, seq_offsets,
             seq_species, reads1, reads2, lens1, lens2,
@@ -391,6 +389,9 @@ def place_spmd_inputs(mesh: Mesh, sfm: StackedFM, **arrays):
         bwt_words=jax.device_put(sfm.bwt_words, shard2),
         fused_rows=jax.device_put(
             sfm.fused_rows, NamedSharding(mesh, P("shard", None, None))
+        ),
+        lut_pairs=jax.device_put(
+            sfm.lut_pairs, NamedSharding(mesh, P("shard", None, None))
         ),
         counts=jax.device_put(sfm.counts, shard2),
         mark_bits=jax.device_put(sfm.mark_bits, shard2),

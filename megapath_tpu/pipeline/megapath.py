@@ -36,6 +36,12 @@ HG_PARAMS = AlignParams(mmp=MmpParams(seed_min_length=22, reseed_len=23))
 NT_PARAMS = AlignParams()
 
 
+class PipelineAbort(RuntimeError):
+    """A stage produced no output: fail the run loudly instead of
+    emitting an empty report (runMegaPath.sh:143-146 aborts when the
+    host-filter output file is empty)."""
+
+
 @dataclass
 class PipelineConfig:
     read_len: int = 150
@@ -279,6 +285,17 @@ class MegaPathPipeline:
                 f.write("ok\n")
 
         n = int(counters[3])
+        if int(counters[0]) > 0:
+            # stage-level failure detection (runMegaPath.sh:143-146):
+            # a silent empty report is worse than a loud abort
+            if int(counters[1]) == 0:
+                raise PipelineAbort("No reads remained after preprocessing")
+            if int(counters[2]) == 0:
+                raise PipelineAbort("No reads remained after host filtering")
+            if n == 0:
+                raise PipelineAbort(
+                    "No reads remained after the ribosome filter"
+                )
 
         # ---- stage B: SPIKE filter over global coverage ---------------
         with timer.stage("spike"):

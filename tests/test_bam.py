@@ -132,3 +132,51 @@ def test_bam_from_sam_writer(tmp_path):
     assert len(out_lines) == len(sam_lines)
     # first record survives field-for-field
     assert out_lines[0].split("\t")[:6] == sam_lines[0].split("\t")[:6]
+
+
+def test_sort_and_merge_bams(tmp_path):
+    """samtools sort/merge equivalent over per-shard BAMs."""
+    import io as _io
+
+    from megapath_tpu.io.bam import merge_bams, read_bam, sort_sam_lines, write_bam
+
+    header = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n@SQ\tSN:chr2\tLN:500\n"
+
+    def rec(name, ref, pos):
+        return "\t".join(
+            [name, "0", ref, str(pos), "60", "4M", "*", "0", "0",
+             "ACGT", "IIII"]
+        )
+
+    bam1 = _io.BytesIO()
+    write_bam(bam1, header, [rec("a", "chr2", 5), rec("b", "chr1", 100)])
+    bam2 = _io.BytesIO()
+    write_bam(bam2, header, [rec("c", "chr1", 7), rec("d", "chr2", 2),
+                             rec("e", "*", 0)])
+    bam1.seek(0)
+    bam2.seek(0)
+    out = _io.BytesIO()
+    merge_bams([bam1, bam2], out)
+    out.seek(0)
+    h, lines = read_bam(out)
+    names = [l.split("\t")[0] for l in lines]
+    assert names == ["c", "b", "d", "a", "e"]  # chr1 by pos, chr2, unmapped
+    assert sort_sam_lines(header, lines) == lines  # idempotent
+
+
+def test_merge_bams_header_mismatch(tmp_path):
+    import io as _io
+
+    import pytest as _pytest
+
+    from megapath_tpu.io.bam import merge_bams, write_bam
+
+    h1 = "@SQ\tSN:chr1\tLN:1000\n"
+    h2 = "@SQ\tSN:chrX\tLN:99\n"
+    b1, b2 = _io.BytesIO(), _io.BytesIO()
+    write_bam(b1, h1, [])
+    write_bam(b2, h2, [])
+    b1.seek(0)
+    b2.seek(0)
+    with _pytest.raises(ValueError, match="differ"):
+        merge_bams([b1, b2], _io.BytesIO())

@@ -221,3 +221,65 @@ def test_device_fm_rejects_oversized_shard():
 
     with _pytest.raises(AssertionError, match="2\\^31|2\\*\\*31|shard"):
         DeviceFM.from_host(SimpleNamespace(n=2**31))
+
+
+def test_db_construction_tools(mini_taxdb):
+    """createDB / filterDB / selectSameSpecieGenome / surpiAnn2id
+    (cc/createDB.cpp, filterDB.cpp, selectSameSpecieGenome.cc,
+    surpiAnn2id.cpp)."""
+    from megapath_tpu.index.dbtools import (
+        create_db,
+        filter_db,
+        header2acc,
+        select_same_species_genome,
+        surpi_ann2id,
+    )
+    from megapath_tpu.io.fastq import FastqRecord
+
+    # header parsing: old gi|, new multi-acc with \x01, UniVec
+    assert header2acc("gi|123|ref|NC_000913.3| E coli") == ["NC_000913"]
+    assert header2acc("NC_000913.3 first\x01NC_003197.2 second") == [
+        "NC_000913", "NC_003197",
+    ]
+    assert header2acc("gnl|uv|U12345.1:1-100") == ["U12345"]
+
+    nt = [
+        FastqRecord("NC_000913.3", "ACGTACGT", "", "E coli genome"),
+        FastqRecord("UNKNOWN.1", "ACGTACGT", "", "no taxid"),
+    ]
+    uv = [FastqRecord("gnl|uv|U12345.1:1-10", "GGGG", "", "")]
+    hg = [FastqRecord("NC_000001.11", "TTTT", "", "")]
+    out = list(create_db(nt, uv, hg, mini_taxdb))
+    assert [r.name for r in out] == ["NC_000913", "U12345", "NC_000001"]
+
+    # filterDB: drop anything under a named taxon
+    recs = [
+        FastqRecord("NC_000913.3", "ACGT", "", ""),
+        FastqRecord("NC_045512.2", "ACGT", "", ""),
+    ]
+    name913 = mini_taxdb.name_of(
+        mini_taxdb.pop_to_species(mini_taxdb.acc2tid["NC_000913"])
+    )
+    kept = list(filter_db(recs, mini_taxdb, [name913]))
+    assert [r.name for r in kept] == ["NC_045512.2"]
+
+    # selectSameSpecieGenome: one 'complete genome' per species
+    tid913 = mini_taxdb.acc2tid["NC_000913"]
+    recs = [
+        FastqRecord("NC_000913.3", "AAAA", "", "strain 1, complete genome"),
+        FastqRecord("NC_000913.2", "CCCC", "", "strain 2, complete genome"),
+        FastqRecord("NC_000913.1", "GGGG", "", "partial cds"),
+    ]
+    sel = select_same_species_genome(recs, mini_taxdb, [tid913])
+    assert len(sel) == 1
+    assert "complete genome" in sel[0].comment
+
+    # surpiAnn2id: species--Name -> taxid
+    import pathlib
+
+    names = pathlib.Path(__file__).parent / "fixtures" / "names.dmp"
+    name = mini_taxdb.name_of(mini_taxdb.pop_to_species(tid913))
+    lines = [f"ACC1#junk\tfoo\tspecies--{name}\tbar"]
+    out = list(surpi_ann2id(names, lines))
+    sp = mini_taxdb.pop_to_species(tid913)
+    assert out == [f"ACC1\t{sp}"]

@@ -240,3 +240,24 @@ def test_assembly_stage_writes_outputs(world, tmp_path):
     contigs = (tmp_path / "asm.contigs.fa").read_text()
     assert contigs.startswith(">ctg0")
     assert len(contigs.splitlines()[1]) >= 100
+
+
+def test_run_files_aborts_on_empty_stage(world, tmp_path):
+    """Failure detection (runMegaPath.sh:143-146): if every read dies
+    in a stage, the run aborts loudly instead of writing an empty
+    report."""
+    import pytest
+
+    from megapath_tpu.pipeline.megapath import PipelineAbort
+
+    shard0, shard1, hg_shard, seqs, db = world
+    rng = np.random.default_rng(66)
+    cfg = PipelineConfig(read_len=80, skip_preprocess=True)
+    pipe = MegaPathPipeline([shard0, shard1], db, hg_shard=hg_shard, config=cfg)
+    # all-human input: the host filter removes everything
+    r1, r2 = _pairs_from(seqs, "NC_000001.1 Homo sapiens chr1", rng, 6)
+    p1, p2 = tmp_path / "h1.fq", tmp_path / "h2.fq"
+    _write_fastq(r1, p1)
+    _write_fastq(r2, p2)
+    with pytest.raises(PipelineAbort, match="host filtering"):
+        pipe.run_files(str(p1), str(p2), str(tmp_path / "ab"))
