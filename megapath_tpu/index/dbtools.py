@@ -273,3 +273,43 @@ def surpi_ann2id(names_dmp_path, ann_lines: Iterable[str]) -> Iterator[str]:
                 )
                 break
         yield f"{acc}\t{tid}"
+
+
+def kraken_censtruct(
+    records: Iterable[FastqRecord],
+    seqid2taxid: Optional[Dict[str, int]] = None,
+    taxid: Optional[int] = None,
+) -> Iterator[FastqRecord]:
+    """kraken-censtruct: rewrite headers to NAME|kraken:taxid|N
+    (cc/kraken-censtruct.cpp:51-64); sequences without a mapping are
+    dropped with a warning, matching the reference's stderr skip."""
+    import sys
+
+    if (seqid2taxid is None) == (taxid is None):
+        raise ValueError("pass exactly one of seqid2taxid / taxid")
+    for rec in records:
+        if taxid is not None:
+            tid = taxid
+        else:
+            tid = seqid2taxid.get(rec.name)
+            if tid is None:
+                print(
+                    f"Error: cannot find taxid for {rec.name}",
+                    file=sys.stderr,
+                )
+                continue
+        yield FastqRecord(f"{rec.name}|kraken:taxid|{tid}", rec.seq, "", "")
+
+
+def extract_region(ref, name: str, start: int, end: int) -> str:
+    """showGene: pull [start, end) of one reference sequence from the
+    packed index (cc/showGene.cpp + indexFunction.cpp, which walk the
+    .tra/.ann/.pac files; PackedReference holds the same data)."""
+    from megapath_tpu.index.pack import decode_seq
+
+    idx = list(ref.names).index(name)
+    off = int(ref.offsets[idx])
+    seq_len = int(ref.offsets[idx + 1]) - off
+    start = max(0, min(start, seq_len))
+    end = max(start, min(end, seq_len))
+    return decode_seq(ref.codes[off + start : off + end])

@@ -41,3 +41,55 @@ def write_vcf(
             f"{min(99, int(frac * 100))}\tPASS\t"
             f"DP={v.depth};AC={v.alt_count}\tGT:AD\t{gt}:{ref_depth},{v.alt_count}\n"
         )
+
+
+def find_af(depth: int, alt_info: dict, ref_base: str, alt_base: str):
+    """extract_vcf_position.find_AF: allele count from the pileup alt
+    table keyed by SNP base / 'I'+inserted / 'D'+deleted suffix."""
+    count = 0
+    if len(ref_base) == len(alt_base) == 1:
+        count = int(alt_info.get(alt_base, 0))
+    elif len(ref_base) < len(alt_base):
+        count = int(alt_info.get("I" + alt_base[1:], 0))
+    elif len(ref_base) > len(alt_base):
+        count = int(alt_info.get("D" + ref_base[1:], 0))
+    if count > 0 and depth:
+        return count / float(depth)
+    return None
+
+
+def update_vcf_af(
+    vcf_lines: Iterable[str],
+    alt_table: dict,
+) -> List[str]:
+    """extract_vcf_position.ExtractVcfPosition: rewrite each variant
+    row's sample column with the realignment pileup's depth + allele
+    frequency (GT:GQ:DP:AF) when the site has a recomputed AF; rows
+    without a pileup entry or with AF<=0 pass through unchanged.
+    ``alt_table`` maps (contig, pos) -> (depth, {allele: count}).
+    """
+    out: List[str] = []
+    for row in vcf_lines:
+        row = row.rstrip("\n")
+        if not row or row[0] == "#":
+            out.append(row)
+            continue
+        cols = row.split("\t")
+        key = (cols[0], int(cols[1]))
+        if key not in alt_table:
+            out.append(row)
+            continue
+        ref_base, alt_base = cols[3], cols[4]
+        depth, alt_info = alt_table[key]
+        new_af = find_af(depth, alt_info, ref_base, alt_base)
+        if not new_af or new_af <= 0:
+            out.append(row)
+            continue
+        parts = cols[-1].split(":")
+        if len(parts) == 4:  # Clair-style GT:GQ:DP:AF sample column
+            gt, gq = parts[0], parts[1]
+            cols = cols[:-1] + [f"{gt}:{gq}:{depth}:{new_af:.4f}"]
+        else:
+            cols = cols + [f"{depth}:{new_af:.4f}"]
+        out.append("\t".join(cols))
+    return out

@@ -65,3 +65,25 @@ def test_realign_reads_matching_ref():
     assert (out.best_hap == ref_idx).all()
     want = np.arange(20, 120, 10)
     np.testing.assert_array_equal(out.read_pos, want)
+
+
+def test_update_vcf_af():
+    """extract_vcf_position.py semantics: AF/DP rewrite from the
+    realignment pileup (SNP / insertion / deletion alt keys)."""
+    from megapath_tpu.io.vcf import find_af, update_vcf_af
+
+    assert find_af(100, {"T": 30}, "A", "T") == 0.3
+    assert find_af(100, {"IAC": 10}, "A", "AAC") == 0.1
+    assert find_af(100, {"DGG": 5}, "AGG", "A") == 0.05
+    assert find_af(100, {"C": 3}, "A", "T") is None
+
+    vcf = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t10\t.\tA\tT\t30\tPASS\t.\tGT:GQ:DP:AF\t1/1:20:50:0.5000",
+        "chr1\t99\t.\tC\tG\t30\tPASS\t.\tGT:GQ:DP:AF\t0/1:20:50:0.2000",
+    ]
+    table = {("chr1", 10): (80, {"T": 40})}
+    out = update_vcf_af(vcf, table)
+    assert out[2].endswith("1/1:20:80:0.5000")
+    assert out[3] == vcf[3]  # untouched (no pileup entry)

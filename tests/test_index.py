@@ -283,3 +283,22 @@ def test_db_construction_tools(mini_taxdb):
     out = list(surpi_ann2id(names, lines))
     sp = mini_taxdb.pop_to_species(tid913)
     assert out == [f"ACC1\t{sp}"]
+
+
+def test_kraken_censtruct_and_extract_region():
+    from megapath_tpu.index.dbtools import extract_region, kraken_censtruct
+    from megapath_tpu.index.pack import pack_fasta
+    from megapath_tpu.io.fastq import FastqRecord
+
+    recs = [FastqRecord("seqA", "ACGTACGTAC", "", ""),
+            FastqRecord("seqB", "GGGGCCCC", "", "")]
+    out = list(kraken_censtruct(recs, seqid2taxid={"seqA": 7}))
+    assert [r.name for r in out] == ["seqA|kraken:taxid|7"]  # seqB dropped
+    out = list(kraken_censtruct(recs, taxid=99))
+    assert [r.name for r in out] == [
+        "seqA|kraken:taxid|99", "seqB|kraken:taxid|99",
+    ]
+
+    ref = pack_fasta(recs)
+    assert extract_region(ref, "seqB", 2, 6) == "GGCC"
+    assert extract_region(ref, "seqA", 8, 99) == "AC"  # clamped
