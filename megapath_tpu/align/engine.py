@@ -312,7 +312,10 @@ class AlignEngine:
             # tunnel d2h at ~40 MB/s made the full-buffer pull ~100 ms
             from megapath_tpu.align.seeding_jax import flatten_seeds
 
-            cap = 4 * Nb  # avg 2 stored seeds/walker; overflow falls back
+            # ~0.8 stored seeds/walker on the bench batch; overflow
+            # falls back to the full pull (cap=4*Nb pulled 6.5 MB ≈
+            # 165 ms of tunnel d2h for nothing)
+            cap = Nb
             fl = jax.device_get(flatten_seeds(out, cap))
             n_valid = int(fl[0])
             if n_valid <= cap:

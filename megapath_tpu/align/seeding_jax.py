@@ -612,15 +612,17 @@ def flatten_seeds(seeds: DeviceSeeds, cap: int):
     idx = ws.astype(jnp.int32) * S + js.astype(jnp.int32)
     valid = jnp.arange(cap) < n_valid
 
-    def take(a):
+    def take(a, dt):
         v = jnp.take(a.reshape(-1), idx)
-        return jnp.where(valid, v, 0)
+        return jnp.where(valid, v, 0).astype(dt)
 
+    # compact dtypes: the tunnel d2h runs at ~40 MB/s, so every byte of
+    # this pull is wall-clock (offsets/lengths < 1024, counts < 1023)
     return (
         n_valid,
         jnp.where(valid, ws.astype(jnp.int32), 0),
-        take(seeds.offset.astype(jnp.int32)),
-        take(seeds.length.astype(jnp.int32)),
-        take(seeds.sa_lo),
-        take(seeds.sa_count.astype(jnp.int32)),
+        take(seeds.offset.astype(jnp.int32), jnp.uint16),
+        take(seeds.length.astype(jnp.int32), jnp.uint16),
+        take(seeds.sa_lo, jnp.int32),
+        take(seeds.sa_count.astype(jnp.int32), jnp.uint16),
     )
