@@ -10,7 +10,7 @@ host code only prepares candidate arrays (seeding/pairing).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -154,6 +154,46 @@ def _align_with_starts(
         end_read=fwd.end_read,
         start_read=fwd.end_read - rev.end_read,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "params"))
+def deep_dp_fused(
+    ref_codes: jnp.ndarray,
+    left_reads: jnp.ndarray,  # [C, L] forward codes of the left leg
+    left_lens: jnp.ndarray,
+    left_starts: jnp.ndarray,  # int32 window starts (pos - margin)
+    left_win_lens: jnp.ndarray,
+    right_reads: jnp.ndarray,  # [C, L] revcomp codes of the right leg
+    right_lens: jnp.ndarray,
+    right_starts: jnp.ndarray,
+    right_full_wl: jnp.ndarray,  # readLen + 2*margin before clipping
+    width: int,
+    insert_high: int,
+    params: DPParams = DPParams(),
+) -> Tuple[FullAlignOut, FullAlignOut]:
+    """Both deep-DP legs in ONE device program.
+
+    The reference aligns the right end per left-passing candidate with
+    the window clipped to leftHit + insert_high
+    (DV-DPfunctions.cpp:2933-2959). Doing the clip ON DEVICE (the left
+    hit position feeds the right win_lens without a host round trip)
+    removes the mid-stage sync; the right leg is computed for every
+    candidate and the left-leg threshold gates the OUTPUT on the host,
+    so the kept hits are identical to the reference's sequential
+    two-phase flow.
+    """
+    left = _align_with_starts(
+        ref_codes, left_reads, left_lens, left_starts,
+        left_win_lens, width, params,
+    )
+    hit_left = left_starts + left.start_ref
+    bound = hit_left + jnp.int32(insert_high) - right_starts
+    wl_r = jnp.clip(jnp.minimum(right_full_wl, bound), 0, width)
+    right = _align_with_starts(
+        ref_codes, right_reads, right_lens, right_starts,
+        wl_r.astype(jnp.int32), width, params,
+    )
+    return left, right
 
 
 @functools.partial(jax.jit, static_argnames=("width", "params"))

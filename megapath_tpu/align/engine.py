@@ -441,6 +441,56 @@ class AlignEngine:
             e_ref[:n].astype(np.int64),
         )
 
+    def _deep_dp_fused_call(
+        self, l_reads, l_lens, l_starts, l_wl,
+        r_reads, r_lens, r_starts, r_full_wl, width,
+    ):
+        """Bucket-pad + run deep_dp_fused + one batched pull."""
+        from megapath_tpu.align.device import deep_dp_fused
+        from megapath_tpu.ops.dp import DPParams
+
+        import jax
+
+        if self._ref_dev is None:
+            import jax.numpy as jnp
+
+            self._ref_dev = jnp.asarray(self.ref.codes)
+        n = l_reads.shape[0]
+        nb = _bucket(n)
+
+        def pad2(a):
+            if nb == n:
+                return a
+            return np.concatenate(
+                [a, np.zeros((nb - n, a.shape[1]), a.dtype)]
+            )
+
+        def pad1(a, dt=np.int32):
+            a = a.astype(dt)
+            if nb == n:
+                return a
+            return np.concatenate([a, np.zeros(nb - n, dt)])
+
+        p = self.params
+        dp = DPParams(p.match, p.mismatch, p.gap_open, p.gap_extend)
+        left, right = deep_dp_fused(
+            self._ref_dev,
+            pad2(l_reads), pad1(l_lens), pad1(l_starts),
+            np.clip(pad1(l_wl), 0, width),
+            pad2(r_reads), pad1(r_lens), pad1(r_starts),
+            np.clip(pad1(r_full_wl), 0, width),
+            width, int(p.insert_high), params=dp,
+        )
+        s1, st_l, e_l, s2, st_r, e_r = jax.device_get(
+            (left.score, left.start_ref, left.end_ref,
+             right.score, right.start_ref, right.end_ref)
+        )
+        return (
+            s1[:n].astype(np.int64), st_l[:n].astype(np.int64),
+            e_l[:n].astype(np.int64), s2[:n].astype(np.int64),
+            st_r[:n].astype(np.int64), e_r[:n].astype(np.int64),
+        )
+
     def _device_locate(self, rows: np.ndarray) -> np.ndarray:
         from megapath_tpu.align.seeding_jax import device_locate
 
@@ -539,12 +589,20 @@ class AlignEngine:
         Lmax = int(all_lens.max(initial=1))
         Wwin = _round_up(Lmax + 2 * 30 + 2, 64)
 
-        # left legs first (packLeft: window = readLen + 2*margin at
-        # pos - margin, DV-DPfunctions.cpp:2869-2881)
+        # BOTH legs in one fused device program: the left-hit position
+        # clips the right window on device (leftHit + insert_high,
+        # DV-DPfunctions.cpp:2933-2959) so no host round trip sits
+        # between the legs. The left threshold gates the OUTPUT below —
+        # kept hits are identical to the reference's two-phase flow.
+        # (The insert_low anchor the reference also computes
+        # (:2985-2988) is dead: the CPU kernel never reads it.)
         starts_l = cands.left_pos - margin_l
-        s1, st_l, e_l = self._device_align(
-            allr[left_read_idx], lL.astype(np.int32), starts_l, Wwin,
-            win_lens=(lL + 2 * margin_l).astype(np.int32),
+        starts_r_all = cands.right_pos - margin_r
+        s1, st_l, e_l, s2a, st_ra, e_ra = self._deep_dp_fused_call(
+            allr[left_read_idx], lL, starts_l,
+            (lL + 2 * margin_l),
+            _revcomp_rows(allr[right_read_idx], lR), lR, starts_r_all,
+            (lR + 2 * margin_r), Wwin,
         )
         thr_l = np.maximum((params.cutoff_ratio * lL).astype(np.int64),
                            params.cutoff_lower_bound)
@@ -552,22 +610,9 @@ class AlignEngine:
         if len(kidx0) == 0:
             return BatchHits.empty(), np.zeros(0, dtype=np.int64)
 
-        # right legs only where the left passed (packRight runs per
-        # left-passing row only, DV-DPfunctions.cpp:2933), with the
-        # window clipped so the right end cannot extend past
-        # leftHit + insert_high (:2954-2959). The insert_low anchor the
-        # reference also computes (:2985-2988) is dead: the CPU kernel
-        # signature takes it but never reads it (CPU_DP.cpp:884).
-        hit_left = starts_l[kidx0] + st_l[kidx0]
-        starts_r = cands.right_pos[kidx0] - margin_r[kidx0]
+        starts_r = starts_r_all[kidx0]
         lRk = lR[kidx0]
-        bound = hit_left + params.insert_high - starts_r
-        wl_r = np.minimum(lRk + 2 * margin_r[kidx0], bound)
-        right_reads = _revcomp_rows(allr[right_read_idx[kidx0]], lRk)
-        s2, st_r, e_r = self._device_align(
-            right_reads, lRk.astype(np.int32), starts_r, Wwin,
-            win_lens=wl_r.astype(np.int32),
-        )
+        s2, st_r, e_r = s2a[kidx0], st_ra[kidx0], e_ra[kidx0]
         thr_r = np.maximum((params.cutoff_ratio * lRk).astype(np.int64),
                            params.cutoff_lower_bound)
         sub = np.flatnonzero(s2 >= thr_r)

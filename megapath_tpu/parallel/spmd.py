@@ -399,3 +399,43 @@ def place_spmd_inputs(mesh: Mesh, sfm: StackedFM, **arrays):
         primary=jax.device_put(sfm.primary, shard1),
     )
     return sfm_placed, placed
+
+
+def spmd_report(
+    out: SpmdAlignOut,
+    species_tids: Sequence[int],
+    taxdb,
+    lens1: np.ndarray,
+    lens2: np.ndarray,
+    cutoff: int = 40,
+) -> str:
+    """The report tail over the SPMD step's merged hit arrays.
+
+    Equivalent of fastq2lsam | taxLookupAcc | genKrakenReport on the
+    distributed output: each pair contributes one classified line per
+    end (the SPMD deep-DP stage reports proper pairs; both ends carry
+    the summed pair score and the -top-retained species set's LCA,
+    genKrakenReport.cpp:148-156 thresholding).
+    """
+    from megapath_tpu.taxonomy.report import KrakenReport
+
+    kept = np.asarray(out.kept)
+    species = np.asarray(out.all_species)
+    best = np.asarray(out.best_score).astype(np.int64)
+    tid_of = np.asarray(list(species_tids) + [0], dtype=np.int64)
+    B = kept.shape[0]
+
+    lcas = np.zeros(B, np.int64)
+    for b in range(B):
+        sps = species[b][kept[b]]
+        tids = [int(tid_of[s]) for s in np.unique(sps) if s >= 0]
+        lcas[b] = taxdb.lca(tids) if tids else 0
+
+    # per-end lines: score is the pair-normalized sum (both ends carry
+    # it), LCA shared; unaligned pairs are unclassified
+    line_scores = np.repeat(best, 2)
+    line_lcas = np.repeat(lcas, 2)
+    eff = np.where(line_lcas > 0, line_scores, -1)
+    rpt = KrakenReport(taxdb)
+    rpt.add_lsam_batch(eff, line_lcas, cutoff)
+    return rpt.format()

@@ -165,3 +165,51 @@ def test_spmd_no_false_pairs(spmd_setup):
     out = _run(spmd_setup, mesh, reads1, reads2, lens)
     assert (np.asarray(out.best_score) == 0).all()
     assert np.asarray(out.species_counts).sum() == 0
+
+
+def test_spmd_report_tail(spmd_setup, mini_taxdb):
+    """SPMD merged output -> Kraken report (the distributed pipeline's
+    classify tail): planted species show up with the right read
+    counts; junk reads count as unclassified."""
+    import jax
+
+    from megapath_tpu.parallel.spmd import make_mesh_for, spmd_report
+
+    mesh = make_mesh_for(jax.devices())
+    B = 16
+    reads1, reads2, lens, want = _make_reads(spmd_setup, B)
+    # 2 junk pairs on top
+    rng = np.random.default_rng(13)
+    reads1 = np.vstack([reads1, rng.integers(0, 4, (2, 80), np.uint8).astype(np.uint8)])
+    reads2 = np.vstack([reads2, rng.integers(0, 4, (2, 80), np.uint8).astype(np.uint8)])
+    lens = np.concatenate([lens, np.full(2, 80, np.int32)])
+    # pad to a multiple of the data axis
+    D = mesh.shape["data"]
+    pad = (-len(lens)) % D
+    if pad:
+        reads1 = np.vstack([reads1, np.zeros((pad, 80), np.uint8)])
+        reads2 = np.vstack([reads2, np.zeros((pad, 80), np.uint8)])
+        lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+    out = _run(spmd_setup, mesh, reads1, reads2, lens)
+
+    # species index -> real taxids from the mini taxonomy
+    tids = [694009, 562, 28901, 11137, 9606, 693996][: spmd_setup["n_species"]]
+    while len(tids) < spmd_setup["n_species"]:
+        tids.append(694009)
+    report = spmd_report(out, tids, mini_taxdb, lens, lens)
+    lines = report.splitlines()
+    assert lines[0].startswith("perc")
+    # junk + pad pairs = 8 unclassified lines
+    unclass = [l for l in lines if "unclassified" in l]
+    assert unclass and int(unclass[0].split("\t")[1]) == 8, report
+    # 16 planted pairs = 32 classified lines, all under root
+    root = [l for l in lines if "\troot" in l][0]
+    assert int(root.split("\t")[1]) == 32, report
+    # per-species stay counts match the planting pattern (3,3,3,3,2,2
+    # pairs over species 0..5 -> 6,6,6,6,4,4 lines)
+    stays = {}
+    for l in lines[1:]:
+        c = l.split("\t")
+        stays[int(c[4])] = int(c[2])
+    assert stays[562] == 6 and stays[9606] == 6
+    assert stays[28901] == 4 and stays[693996] == 4
