@@ -212,6 +212,14 @@ class AlignEngine:
         self.device = device
         self._ref_dev = None
         self.seed_segment_threshold: Optional[int] = None  # see _device_seeds
+        # pipelined-batch chunk size (pairs): batches >= 2 chunks run
+        # seed-walk(i+1) before decode(i) so host work hides behind the
+        # device. DISABLED by default (0): on the axon-tunneled v5e the
+        # extra per-chunk dispatch/pull round trips cost far more than
+        # the hidden host time (22.2k vs 36.4k reads/s on the bench) —
+        # the same verdict as seed_segment_threshold. Set e.g. 8192 on
+        # direct-attached hardware where a sync is ~us, not ~ms.
+        self.chunk_pairs: int = 0
         if device_seeding:
             from megapath_tpu.align.seeding_jax import DeviceFM
 
@@ -307,34 +315,10 @@ class AlignEngine:
         import jax
 
         if not segmented:
-            # compact the (W, S) seed slots on device and pull only the
-            # valid rows (~62k of 650k slots on the bench batch): the
-            # tunnel d2h at ~40 MB/s made the full-buffer pull ~100 ms
-            from megapath_tpu.align.seeding_jax import flatten_seeds
-
-            # ~0.8 stored seeds/walker on the bench batch; overflow
-            # falls back to the full pull (cap=4*Nb pulled 6.5 MB ≈
-            # 165 ms of tunnel d2h for nothing)
-            cap = Nb
-            fl = jax.device_get(flatten_seeds(out, cap))
-            n_valid = int(fl[0])
-            if n_valid <= cap:
-                ws_f, off_f, lng_f, slo_f, scnt_f = (
-                    a[:n_valid] for a in fl[1:]
-                )
-                # drop rows belonging to the row padding, keep N-order
-                keep = (ws_f < N) | ((ws_f >= Nb) & (ws_f < Nb + N))
-                ws_f, off_f, lng_f, slo_f, scnt_f = (
-                    a[keep] for a in (ws_f, off_f, lng_f, slo_f, scnt_f)
-                )
-                ws_f = np.where(ws_f >= Nb, ws_f - (Nb - N), ws_f)
-                return Seeds(
-                    walker=ws_f.astype(np.int32),
-                    offset=off_f.astype(np.int32),
-                    length=lng_f.astype(np.int32),
-                    sa_lo=slo_f.astype(np.int64),
-                    sa_count=scnt_f.astype(np.int32),
-                )
+            handle = self._seed_compact_dispatch(out, N, Nb)
+            seeds = self._seed_compact_finish(handle)
+            if seeds is not None:
+                return seeds
 
         # one batched device_get instead of five sequential pulls —
         # each host sync pays a full tunnel round trip
@@ -441,6 +425,80 @@ class AlignEngine:
             e_ref[:n].astype(np.int64),
         )
 
+    @staticmethod
+    def _seed_compact_dispatch(out, N: int, Nb: int):
+        """Dispatch the on-device seed compaction (async): the (W, S)
+        slot buffers shrink to one row per valid seed before the pull —
+        the tunnel d2h at ~40 MB/s made the full-buffer pull ~100 ms.
+        Returns a handle for ``_seed_compact_finish``."""
+        from megapath_tpu.align.seeding_jax import flatten_seeds
+
+        # ~0.8 stored seeds/walker on the bench batch; overflow falls
+        # back to the full pull (handled by the caller on None)
+        cap = Nb
+        return (flatten_seeds(out, cap), cap, N, Nb)
+
+    @staticmethod
+    def _seed_compact_finish(handle):
+        """Pull + decode the compacted seeds; None on cap overflow."""
+        import jax
+
+        from megapath_tpu.align.seeding import Seeds
+
+        fl_dev, cap, N, Nb = handle
+        fl = jax.device_get(fl_dev)
+        n_valid = int(fl[0])
+        if n_valid > cap:
+            return None
+        ws_f, off_f, lng_f, slo_f, scnt_f = (a[:n_valid] for a in fl[1:])
+        # drop rows belonging to the row padding, keep N-order
+        keep = (ws_f < N) | ((ws_f >= Nb) & (ws_f < Nb + N))
+        ws_f, off_f, lng_f, slo_f, scnt_f = (
+            a[keep] for a in (ws_f, off_f, lng_f, slo_f, scnt_f)
+        )
+        ws_f = np.where(ws_f >= Nb, ws_f - (Nb - N), ws_f)
+        return Seeds(
+            walker=ws_f.astype(np.int32),
+            offset=off_f.astype(np.int32),
+            length=lng_f.astype(np.int32),
+            sa_lo=slo_f.astype(np.int64),
+            sa_count=scnt_f.astype(np.int32),
+        )
+
+    def _seed_walk_dispatch(self, reads: np.ndarray, lens: np.ndarray, mmp):
+        """Async phase of ``_device_seeds`` for the pipelined batch
+        path: pads, builds walkers, dispatches the walk + compaction,
+        returns the finish handle (no host sync). Non-segmented only.
+        """
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from megapath_tpu.align.seeding_jax import (
+            build_walkers,
+            device_mmp_seed,
+        )
+
+        N, L = reads.shape
+        Nb = max(_round_up(N, 4096), 4096)
+        if Nb != N:
+            reads = np.concatenate(
+                [reads, np.zeros((Nb - N, reads.shape[1]), reads.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros(Nb - N, lens.dtype)])
+        max_seeds = int(min(16, max(4, L // 16 + 2)))
+        if self.device is not None:
+            reads_d = _jax.device_put(reads, self.device)
+            lens_d = _jax.device_put(lens.astype(np.int32), self.device)
+        else:
+            reads_d = jnp.asarray(reads)
+            lens_d = jnp.asarray(lens.astype(np.int32))
+        walkers, wlens = build_walkers(reads_d, lens_d)
+        out, _ = device_mmp_seed(
+            self.dfm, walkers, wlens, mmp, max_seeds=max_seeds,
+            max_steps=3 * L + 64, finalize=True,
+        )
+        return self._seed_compact_dispatch(out, N, Nb)
+
     def _deep_dp_fused_call(
         self, l_reads, l_lens, l_starts, l_wl,
         r_reads, r_lens, r_starts, r_full_wl, width,
@@ -503,6 +561,99 @@ class AlignEngine:
 
     # ------------------------------------------------------------------
     def align_pairs(
+        self,
+        reads1: np.ndarray,
+        lens1: np.ndarray,
+        reads2: np.ndarray,
+        lens2: np.ndarray,
+    ) -> BatchHits:
+        """Full batch alignment; large single-round batches go through
+        the software-pipelined chunk path (seed walk of chunk i+1
+        dispatched before chunk i's host decode, hiding host time
+        behind the device — the aio_thread.cpp overlap, applied to the
+        compute stages instead of file IO)."""
+        n = len(reads1)
+        if (
+            self.dfm is not None
+            and self.chunk_pairs
+            and n >= 2 * self.chunk_pairs
+            and len(self.params.seeding_rounds) == 1
+        ):
+            return self._align_pairs_pipelined(reads1, lens1, reads2, lens2)
+        return self._align_pairs_impl(reads1, lens1, reads2, lens2)
+
+    def _align_pairs_pipelined(
+        self, reads1, lens1, reads2, lens2
+    ) -> BatchHits:
+        n = len(reads1)
+        cs = self.chunk_pairs
+        bases = list(range(0, n, cs))
+        mmp = self.params.mmp
+
+        def chunk_reads(b):
+            e = min(b + cs, n)
+            cn = e - b
+            L = max(reads1.shape[1], reads2.shape[1])
+            allr = np.zeros((2 * cn, L), dtype=np.uint8)
+            allr[:cn, : reads1.shape[1]] = reads1[b:e]
+            allr[cn:, : reads2.shape[1]] = reads2[b:e]
+            all_lens = np.concatenate([lens1[b:e], lens2[b:e]]).astype(
+                np.int32
+            )
+            return allr, all_lens, cn
+
+        parts: List[BatchHits] = []
+        pending = None  # (base, allr, all_lens, cn, handle)
+        for i, b in enumerate(bases + [None]):
+            nxt = None
+            if b is not None:
+                allr, all_lens, cn = chunk_reads(b)
+                handle = self._seed_walk_dispatch(allr, all_lens, mmp)
+                nxt = (b, allr, all_lens, cn, handle)
+            if pending is not None:
+                pb, pallr, plens, pcn, ph = pending
+                seeds = self._seed_compact_finish(ph)
+                if seeds is None:  # cap overflow: redo via the full pull
+                    seeds = self._device_seeds(pallr, plens, mmp)
+                hits = self._chunk_round(
+                    seeds, pallr, plens, pcn,
+                    lens1[pb : pb + pcn], lens2[pb : pb + pcn], mmp,
+                )
+                if len(hits):
+                    hits.read += np.int32(pb)
+                parts.append(hits)
+            pending = nxt
+        return BatchHits.concat(parts)
+
+    def _chunk_round(
+        self, seeds, allr, all_lens, cn, clens1, clens2, mmp
+    ) -> BatchHits:
+        """One chunk's decode -> pair -> deep DP -> SE/rescue."""
+        sp = decode_seeds(
+            seeds, self.fm, all_lens, 2 * cn, mmp,
+            locate_fn=self._device_locate if self.dfm is not None else None,
+        )
+        m1 = sp.read < cn
+        sp1 = SeedPositions(
+            sp.read[m1].astype(np.int32), sp.strand[m1], sp.pos[m1],
+            sp.coverage[m1],
+        )
+        m2 = ~m1
+        sp2 = SeedPositions(
+            (sp.read[m2] - cn).astype(np.int32), sp.strand[m2], sp.pos[m2],
+            sp.coverage[m2],
+        )
+        cands = pair_candidates(sp1, sp2, clens1, clens2, self.params)
+        paired_hits, aligned = self._deep_dp(cands, allr, all_lens, cn)
+        todo = np.setdiff1d(np.arange(cn), aligned)
+        parts = [paired_hits]
+        if len(todo):
+            parts.append(
+                self._single_and_rescue(todo, sp1, sp2, allr, all_lens, cn)
+            )
+        return BatchHits.concat(parts)
+
+    def _align_pairs_impl(
         self,
         reads1: np.ndarray,
         lens1: np.ndarray,
@@ -736,21 +887,18 @@ class AlignEngine:
                 seq_s = self.ref.seq_of_pos(g_start)
                 seq_e = self.ref.seq_of_pos(np.maximum(g_stop - 1, g_start))
                 ok = (seq_s == seq_e) & (g_start >= 0)
-                for t in np.flatnonzero(ok):
-                    j = kidx[t]
-                    singles.append(
-                        (
-                            int(pair_b[j]),
-                            int(end_b[j]),
-                            int(strand_b[j]),
-                            int(g_start[t]),
-                            int(g_stop[t]),
-                            int(score[j]),
-                            int(seq_s[t]),
-                        )
-                    )
+                tt = np.flatnonzero(ok)
+                sel = kidx[tt]
+                singles.append(np.stack(
+                    [pair_b[sel], end_b[sel], strand_b[sel],
+                     g_start[tt], g_stop[tt], score[sel], seq_s[tt]],
+                    axis=1,
+                ).astype(np.int64))
 
-        if not singles:
+        singles = (
+            np.concatenate(singles) if singles else np.zeros((0, 7), np.int64)
+        )
+        if not len(singles):
             return BatchHits.empty()
 
         # mate rescue: DP the other end inside the insert window
@@ -760,14 +908,15 @@ class AlignEngine:
 
         # anchor records; rescued anchors get the summed pair score
         # (normalizeScore applies to both ends, BGS-IO.cpp:1949-1963)
-        arr = np.array([r[:7] for r in singles], dtype=np.int64)
+        arr = singles
         a_score = arr[:, 5].astype(np.int32)
         a_paired = np.zeros(len(arr), dtype=bool)
         norm = a_score.copy()
-        for row, summed in zip(rescued_rows, rescued_sums):
-            if summed > norm[row]:
-                norm[row] = summed
-            a_paired[row] = True
+        if len(rescued_rows):
+            np.maximum.at(
+                norm, np.asarray(rescued_rows), np.asarray(rescued_sums)
+            )
+            a_paired[np.asarray(rescued_rows)] = True
         unpaired = BatchHits(
             read=arr[:, 0].astype(np.int32),
             end=arr[:, 1].astype(np.int8),
@@ -795,9 +944,9 @@ class AlignEngine:
 
         Returns (mate hits, rescued anchor rows, summed scores)."""
         params = self.params
-        if not anchors:
+        if not len(anchors):
             return BatchHits.empty(), [], []
-        arr = np.array([a[:7] for a in anchors], dtype=np.int64)
+        arr = np.asarray(anchors, dtype=np.int64)
         pair, end, strand = arr[:, 0], arr[:, 1], arr[:, 2]
         g_start, g_stop, a_score = arr[:, 3], arr[:, 4], arr[:, 5]
 
@@ -845,6 +994,4 @@ class AlignEngine:
             strand=mate_strand[t].astype(np.int8),
             paired=same,
         )
-        rescued_rows = [int(r) for r in t[same]]
-        rescued_sums = [int(s) for s in summed[same]]
-        return hits, rescued_rows, rescued_sums
+        return hits, t[same], summed[same].astype(np.int32)

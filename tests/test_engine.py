@@ -277,3 +277,47 @@ def test_single_end_candidate_cap(world):
     h_cap = capped.align_pairs(reads1, lens, reads2, lens.copy())
     n_cap = len(np.unique(h_cap.start[(h_cap.read == 0) & (h_cap.end == 0)]))
     assert n_cap <= 2
+
+
+def test_pipelined_batch_path_matches_plain(world):
+    """The software-pipelined chunk path (seed-walk overlap) must
+    produce exactly the plain path's hits."""
+    import numpy as np
+
+    from megapath_tpu.align.engine import BatchHits
+
+    ref, fm, params, seqs = world
+    engine = AlignEngine(ref, fm, params, device_seeding=True)
+    rng = np.random.default_rng(17)
+    n, L = 96, 80
+    keys = list(seqs)
+    reads1 = np.zeros((n, L), np.uint8)
+    reads2 = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        c = seqs[keys[i % len(keys)]]
+        if i % 5 == 4:  # junk pair
+            reads1[i] = rng.integers(0, 4, L)
+            reads2[i] = rng.integers(0, 4, L)
+            continue
+        p = int(rng.integers(0, len(c) - 300))
+        reads1[i] = c[p : p + L]
+        seg = c[p + 300 - L : p + 300]
+        reads2[i] = np.array([3, 2, 1, 0], np.uint8)[seg[::-1]]
+    lens = np.full(n, L, np.int32)
+
+    engine.chunk_pairs = 0
+    want = engine._align_pairs_impl(reads1, lens, reads2, lens)
+    engine.chunk_pairs = 32  # force 3 chunks
+    got = engine.align_pairs(reads1, lens, reads2, lens)
+    engine.chunk_pairs = 8192
+
+    def canon(h: BatchHits):
+        order = np.lexsort((h.strand, h.start, h.seq, h.end, h.read))
+        return [
+            np.asarray(getattr(h, f))[order]
+            for f in ("read", "end", "seq", "score", "raw_score",
+                      "start", "stop", "strand", "paired")
+        ]
+
+    for a, b in zip(canon(want), canon(got)):
+        np.testing.assert_array_equal(a, b)
