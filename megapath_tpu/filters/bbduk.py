@@ -258,33 +258,40 @@ def average_entropy(
     e[0] = 0.0
     mult = -1.0 / np.log(window)
 
-    counts = np.zeros((B, kspace), dtype=np.int16)
+    # one flat counts array indexed by row*kspace + kmer: one gather +
+    # one scatter per transition (indices are unique per row, so plain
+    # advanced-index writes suffice); de[c] = e[c+1] - e[c] folds the
+    # two table reads per update into one
+    counts = np.zeros(B * kspace, dtype=np.int16)
+    de = np.zeros(window + 2, dtype=np.float64)
+    de[:-1] = e[1:] - e[:-1]
     S = np.zeros(B, dtype=np.float64)  # Sigma cc[c] * e[c]
     esum = np.zeros(B, dtype=np.float64)
     nmeas = np.zeros(B, dtype=np.int64)
-    rows = np.arange(B)
+    row_base = np.arange(B, dtype=np.int64) * kspace
 
     kadd = np.zeros(B, dtype=np.uint32)
     krem = np.zeros(B, dtype=np.uint32)
+    codes_u32 = codes.astype(np.uint32)
     for i in range(L + window):
         i2 = i - window
         if i < L:
-            add_live = i < lens
-            kadd = ((kadd << np.uint32(2)) | codes[:, i].astype(np.uint32)) & mask
-            c_old = counts[rows, kadd]
-            upd = add_live
-            S = np.where(upd, S + e[c_old + 1] - e[c_old], S)
-            counts[rows[upd], kadd[upd]] += 1
+            kadd = ((kadd << np.uint32(2)) | codes_u32[:, i]) & mask
+            idx = row_base + kadd
+            c_old = counts[idx]
+            live = i < lens
+            S += np.where(live, de[c_old], 0.0)
+            counts[idx[live]] = c_old[live] + 1
         if i2 >= 0:
-            rem_live = i2 < lens
-            krem = ((krem << np.uint32(2)) | codes[:, i2].astype(np.uint32)) & mask
-            c_old = counts[rows, krem]
-            upd = rem_live
-            S = np.where(upd & (c_old > 0), S + e[np.maximum(c_old - 1, 0)] - e[c_old], S)
-            counts[rows[upd], krem[upd]] -= 1
+            krem = ((krem << np.uint32(2)) | codes_u32[:, i2]) & mask
+            idx = row_base + krem
+            c_old = counts[idx]
+            live = (i2 < lens) & (c_old > 0)
+            S -= np.where(live, de[np.maximum(c_old - 1, 0)], 0.0)
+            counts[idx[live]] = c_old[live] - 1
         # measurement when i2 >= -1 and i < len
         meas = (i2 >= -1) & (i < lens)
-        esum = np.where(meas, esum + S * mult, esum)
+        esum += np.where(meas, S * mult, 0.0)
         nmeas += meas
         if i >= L and i2 >= L:
             break
