@@ -718,46 +718,62 @@ class MegaPathPipeline:
         superkingdom set labels the opts column (the reference keeps
         the original annotation columns through reassign)."""
         db = self.taxdb
-        groups: Dict[Tuple[int, int], slice] = {}
-        if len(read):
-            bounds = np.flatnonzero(
-                np.r_[True, (read[1:] != read[:-1]) | (end[1:] != end[:-1])]
-            )
-            for gi, b in enumerate(bounds):
-                e_ = bounds[gi + 1] if gi + 1 < len(bounds) else len(read)
-                groups[(int(read[b]), int(end[b]))] = slice(b, e_)
+        name_cache: Dict[int, str] = {}
+
+        def _names(sks) -> List[str]:
+            out = []
+            for t in sks:
+                nm = name_cache.get(t)
+                if nm is None:
+                    nm = name_cache[t] = db.name_of(t)
+                out.append(nm)
+            return out
+
+        def _group_bounds(r, e):
+            """(read, end) -> (start, stop) row ranges, via one pass
+            over the (read,end)-sorted rows; .tolist() hoists every
+            per-element numpy-scalar conversion out of the line loop."""
+            g: Dict[Tuple[int, int], Tuple[int, int]] = {}
+            if len(r):
+                bounds = np.flatnonzero(
+                    np.r_[True, (r[1:] != r[:-1]) | (e[1:] != e[:-1])]
+                ).tolist()
+                bounds.append(len(r))
+                rl, el = r.tolist(), e.tolist()
+                for gi in range(len(bounds) - 1):
+                    b = bounds[gi]
+                    g[(rl[b], el[b])] = (b, bounds[gi + 1])
+            return g
+
+        groups = _group_bounds(read, end)
+        score_l = score.tolist()
+        sp_l = [str(t) for t in sp.tolist()]
+        sk_l = sk.tolist()
         sk_groups: Dict[Tuple[int, int], List[str]] = {}
         if sk_full is not None:
             fr, fe, fsk = sk_full
-            if len(fr):
-                bounds = np.flatnonzero(
-                    np.r_[True, (fr[1:] != fr[:-1]) | (fe[1:] != fe[:-1])]
-                )
-                for gi, b in enumerate(bounds):
-                    e_ = bounds[gi + 1] if gi + 1 < len(bounds) else len(fr)
-                    sks = sorted(set(int(x) for x in fsk[b:e_]) - {0})
-                    sk_groups[(int(fr[b]), int(fe[b]))] = [
-                        db.name_of(t) for t in sks
-                    ]
+            fsk_l = fsk.tolist()
+            for key, (b, e_) in _group_bounds(fr, fe).items():
+                sks = sorted(set(fsk_l[b:e_]) - {0})
+                sk_groups[key] = _names(sks)
 
+        best_l = best.tolist()
         out: List[LsamRecord] = []
-        for i in range(len(recs1)):
-            if not keep_read[i]:
-                continue
+        for i in np.flatnonzero(keep_read).tolist():
             for e_, recs in ((0, recs1), (1, recs2)):
                 rec = recs[i]
                 g = groups.get((i, e_))
                 if sk_full is not None:
                     opts = sk_groups.get((i, e_), [])
                 elif g is not None:
-                    sks = sorted(set(int(x) for x in sk[g]) - {0})
-                    opts = [db.name_of(t) for t in sks]
+                    sks = sorted(set(sk_l[g[0]:g[1]]) - {0})
+                    opts = _names(sks)
                 else:
                     opts = []
                 seq = "*" if reassigned else rec.seq
                 qual = "*" if reassigned else rec.qual
                 hits = (
-                    [(float(s_), str(int(t))) for s_, t in zip(score[g], sp[g])]
+                    list(zip(score_l[g[0]:g[1]], sp_l[g[0]:g[1]]))
                     if g is not None
                     else []
                 )
@@ -765,7 +781,7 @@ class MegaPathPipeline:
                     LsamRecord(
                         name=rec.name,
                         flag=0x40 if e_ == 0 else 0x80,
-                        score=int(best[e_, i]),
+                        score=best_l[e_][i],
                         seq=seq,
                         qual=qual,
                         hits=hits,
