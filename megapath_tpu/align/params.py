@@ -24,6 +24,19 @@ class MmpParams:
     reseed_rlt_ratio: float = 0.7  # mmpReseedRLTratio
     reseed_abs_diff: int = 4  # mmpReseedAbsDiff
     short_seed_ratio: float = 0.5  # mmpShortSeedRatio
+    # TPU-first walk truncation (no reference counterpart): the
+    # lockstep walk's wall clock is the SLOWEST walker, and
+    # wrong-strand/junk walkers grind ~5 steps per consumed char
+    # (short extension + fail + overlap rollback) while productive
+    # walkers run ~1 step/char. Retire a walker once its step count
+    # exceeds kill_ratio * chars_consumed + kill_base — a per-walker
+    # deterministic rule (independent of batch composition, so shard/
+    # placement parity is preserved). The reference has no such rule;
+    # it runs each read to completion on a pthread pool where only
+    # TOTAL work matters (DV-DPfunctions.cpp:2394-2402). Validated by
+    # the soap4/cascade parity suites; set kill_ratio=0 to disable.
+    kill_ratio: float = 2.5
+    kill_base: int = 80
 
 
 @dataclass(frozen=True)

@@ -155,11 +155,19 @@ def mmp_seed(
             last_hi[idx] = n_rows
             last_len[idx] = 0
 
+    wsteps = np.zeros(Wn, dtype=np.int64)  # per-walker lockstep steps
     limit = max_steps if max_steps is not None else int(3 * L + 64)
     for _ in range(limit):
+        # progress kill (matches seeding_jax.device_mmp_seed): retire
+        # walkers whose step spend exceeds kill_ratio * chars + base —
+        # junk walkers grind ~5 steps/char, productive ones ~1.
+        if params.kill_ratio > 0:
+            over = active & (wsteps > params.kill_ratio * i + params.kill_base)
+            active[over] = False
         act = np.flatnonzero(active)
         if len(act) == 0:
             break
+        wsteps[act] += 1
 
         fresh = act[seed_len[act] == 0]
         ext = act[seed_len[act] != 0]

@@ -204,6 +204,7 @@ class SeedWalkState(NamedTuple):
     out_meta: jnp.ndarray
     out_lo: jnp.ndarray
     n_seeds: jnp.ndarray
+    steps: jnp.ndarray  # per-walker lockstep steps spent (progress kill)
 
 
 @jax.jit
@@ -352,6 +353,7 @@ def device_mmp_seed(
         out_meta: jnp.ndarray  # (off << 20) | (len << 10) | cnt
         out_lo: jnp.ndarray
         n_seeds: jnp.ndarray
+        steps: jnp.ndarray  # per-walker steps spent (for the progress kill)
         step: jnp.ndarray
 
     if state is None:
@@ -367,6 +369,7 @@ def device_mmp_seed(
             out_meta=jnp.zeros((Wn, max_seeds), jnp.int32),
             out_lo=jnp.zeros((Wn, max_seeds), jnp.int32),
             n_seeds=jnp.zeros(Wn, jnp.int32),
+            steps=jnp.zeros(Wn, jnp.int32),
             step=jnp.int32(0),
         )
     else:
@@ -444,6 +447,21 @@ def device_mmp_seed(
         )
 
     def body(s: S) -> S:
+        # progress kill: junk walkers grind ~5 lockstep steps per
+        # consumed char while productive walkers run ~1/char — retire
+        # any walker whose step budget (kill_ratio * i + kill_base) is
+        # exhausted. Per-walker and deterministic, so emitted seeds do
+        # not depend on batch composition (placement-invariance holds).
+        # Buffered seeds are kept; the in-flight partial seed drops,
+        # exactly like the 3L+64 hard-cap truncation this replaces as
+        # the junk wall-clock floor.
+        if params.kill_ratio > 0:
+            over = s.steps.astype(jnp.float32) > (
+                params.kill_ratio * s.i.astype(jnp.float32)
+                + jnp.float32(params.kill_base)
+            )
+            s = s._replace(active=s.active & ~over)
+        s = s._replace(steps=s.steps + s.active.astype(jnp.int32))
         fresh = s.active & (s.seed_len == 0)
         ext = s.active & (s.seed_len != 0)
 
@@ -560,7 +578,7 @@ def device_mmp_seed(
     out_state = SeedWalkState(
         final.i, final.lo, final.hi, final.seed_len, final.last_lo,
         final.last_hi, final.last_len, final.active, final.out_meta,
-        final.out_lo, final.n_seeds,
+        final.out_lo, final.n_seeds, final.steps,
     )
     return seeds, out_state
 

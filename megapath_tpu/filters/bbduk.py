@@ -206,6 +206,29 @@ def quality_trim(
     B, L = quals.shape
     avg_err = float(phred_error(np.array(trimq)))
     nprob = max(min(avg_err * 1.1, 1.0), NPROB)
+
+    from megapath_tpu.native.build import load_bbduk_lib
+
+    lib = load_bbduk_lib()
+    if lib is not None and B:
+        import ctypes
+
+        q = np.ascontiguousarray(quals, dtype=np.int16)
+        nn = np.ascontiguousarray(is_n, dtype=np.uint8)
+        ll = np.ascontiguousarray(lens, dtype=np.int32)
+        start = np.empty(B, dtype=np.int32)
+        stop = np.empty(B, dtype=np.int32)
+        lib.bbduk_qtrim(
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            nn.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ll.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(B), ctypes.c_int32(L),
+            _PROB_ERROR.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_double(avg_err), ctypes.c_double(nprob),
+            start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            stop.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return start, stop
     prob = phred_error(quals)
     prob = np.where(is_n, nprob, prob)
     delta = (avg_err - prob).astype(np.float32)
@@ -249,6 +272,25 @@ def average_entropy(
     """
     B, L = codes.shape
     lens = np.asarray(lens)
+
+    from megapath_tpu.native.build import load_bbduk_lib
+
+    lib = load_bbduk_lib()
+    if lib is not None and B:
+        import ctypes
+
+        cc = np.ascontiguousarray(codes, dtype=np.uint8)
+        ll = np.ascontiguousarray(lens, dtype=np.int32)
+        out = np.empty(B, dtype=np.float64)
+        lib.bbduk_entropy(
+            cc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ll.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(B), ctypes.c_int32(L),
+            ctypes.c_int32(k), ctypes.c_int32(window),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+
     kspace = 1 << (2 * k)
     mask = np.uint32(kspace - 1)
     # e[c] = (c/window) * ln(c/window)
@@ -330,27 +372,39 @@ def bbduk_pair(
         seqs = [r.seq[:L] for r in recs]
         lens = np.fromiter((len(s) for s in seqs), np.int32, count=n)
         total = int(lens.sum())
-        rows = np.repeat(np.arange(n), lens)
+        buf = np.frombuffer("".join(seqs).encode("latin1"), np.uint8)
+        qs = [r.qual[: int(l_)] for r, l_ in zip(recs, lens)]
+        qbuf = np.frombuffer("".join(qs).encode("latin1"), np.uint8)
+        if total == n * L and len(qbuf) == total:
+            # uniform-length batch (the untrimmed stage-0 common case):
+            # reshape the joined buffers directly, no scatter
+            raw = buf.reshape(n, L)
+            codes = _ENC_LUT[buf].reshape(n, L)
+            is_n = (~_IS_ACGT_LUT[buf]).reshape(n, L)
+            quals = (qbuf.astype(np.int16) - 33).reshape(n, L)
+            return codes, is_n, quals, lens, raw
         offs = np.zeros(n + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
-        cols = np.arange(total, dtype=np.int64) - offs[rows]
-        buf = np.frombuffer("".join(seqs).encode("latin1"), np.uint8)
-        raw = np.zeros((n, L), dtype=np.uint8)
-        codes = np.zeros((n, L), dtype=np.uint8)
-        is_n = np.zeros((n, L), dtype=bool)
-        quals = np.zeros((n, L), dtype=np.int16)
-        raw[rows, cols] = buf
-        codes[rows, cols] = _ENC_LUT[buf]
-        is_n[rows, cols] = ~_IS_ACGT_LUT[buf]
-        qs = [r.qual[: int(l_)] for r, l_ in zip(recs, lens)]
+        rows = np.repeat(np.arange(n), lens)
+        pos = np.arange(total, dtype=np.int64) - offs[rows] + rows * L
+        raw = np.zeros(n * L, dtype=np.uint8)
+        codes = np.zeros(n * L, dtype=np.uint8)
+        is_n = np.zeros(n * L, dtype=bool)
+        quals = np.zeros(n * L, dtype=np.int16)
+        raw[pos] = buf
+        codes[pos] = _ENC_LUT[buf]
+        is_n[pos] = ~_IS_ACGT_LUT[buf]
         qlens = np.fromiter((len(q) for q in qs), np.int32, count=n)
         qrows = np.repeat(np.arange(n), qlens)
         qoffs = np.zeros(n + 1, np.int64)
         np.cumsum(qlens, out=qoffs[1:])
-        qcols = np.arange(int(qlens.sum()), dtype=np.int64) - qoffs[qrows]
-        qbuf = np.frombuffer("".join(qs).encode("latin1"), np.uint8)
-        quals[qrows, qcols] = qbuf.astype(np.int16) - 33
-        return codes, is_n, quals, lens, raw
+        qpos = (
+            np.arange(int(qlens.sum()), dtype=np.int64)
+            - qoffs[qrows] + qrows * L
+        )
+        quals[qpos] = qbuf.astype(np.int16) - 33
+        return (codes.reshape(n, L), is_n.reshape(n, L),
+                quals.reshape(n, L), lens, raw.reshape(n, L))
 
     c1, n1, q1, l1, raw1 = pack(recs1)
     c2, n2, q2, l2, raw2 = pack(recs2)
@@ -402,26 +456,38 @@ def bbduk_pair(
     mq1 = np.where(m1, np.uint8(ord("!")), 0)
     mq2 = np.where(m2, np.uint8(ord("!")), 0)
 
-    def rec_out(recs, mseq, mq, i, s_, e_):
+    # flatten once: per-record seq slices come from one bytes buffer
+    # (bytes slicing beats 40k tiny numpy views), and the qual rewrite
+    # happens only on rows the kmask actually touched
+    flat1 = mseq1.tobytes()
+    flat2 = mseq2.tobytes()
+    any_mq1 = mq1.any(axis=1)
+    any_mq2 = mq2.any(axis=1)
+
+    def rec_out(recs, flat, mq, has_mask, i, s_, e_):
         r = recs[i]
-        seq = mseq[i, s_:e_].tobytes().decode("latin1")
+        seq = flat[i * L + s_ : i * L + e_].decode("latin1")
         q = r.qual[s_:e_]
-        row = mq[i, s_:e_]
-        if row.any():
-            qb = np.frombuffer(q.encode("latin1"), np.uint8).copy()
-            np.putmask(qb[: len(row)], row[: len(qb)] > 0, ord("!"))
-            q = qb.tobytes().decode("latin1")
+        if has_mask:
+            row = mq[i, s_:e_]
+            if row.any():
+                qb = np.frombuffer(q.encode("latin1"), np.uint8).copy()
+                np.putmask(qb[: len(row)], row[: len(qb)] > 0, ord("!"))
+                q = qb.tobytes().decode("latin1")
         return FastqRecord(r.name, seq, q, r.comment)
 
+    ok_l = ok.tolist()
+    low_l = low.tolist()
+    s1_l, e1_l = s1.tolist(), e1.tolist()
+    s2_l, e2_l = s2.tolist(), e2.tolist()
+    m1_l, m2_l = any_mq1.tolist(), any_mq2.tolist()
     for i in range(n):
-        if not ok[i]:
+        if not ok_l[i]:
             removed += 1
             continue
-        s1i, e1i = int(s1[i]), int(e1[i])
-        s2i, e2i = int(s2[i]), int(e2[i])
-        r1 = rec_out(recs1, mseq1, mq1, i, s1i, e1i)
-        r2 = rec_out(recs2, mseq2, mq2, i, s2i, e2i)
-        if low[i]:
+        r1 = rec_out(recs1, flat1, mq1, m1_l[i], i, s1_l[i], e1_l[i])
+        r2 = rec_out(recs2, flat2, mq2, m2_l[i], i, s2_l[i], e2_l[i])
+        if low_l[i]:
             lowc.extend([r1, r2])
         else:
             out1.append(r1)

@@ -15,11 +15,15 @@ _SO = os.path.join(HERE, "_saais.so")
 _SRC = os.path.join(HERE, "saais.cpp")
 _FQ_SO = os.path.join(HERE, "_fastq.so")
 _FQ_SRC = os.path.join(HERE, "fastq.cpp")
+_BB_SO = os.path.join(HERE, "_bbduk.so")
+_BB_SRC = os.path.join(HERE, "bbduk.cpp")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 _fq_lib: Optional[ctypes.CDLL] = None
 _fq_tried = False
+_bb_lib: Optional[ctypes.CDLL] = None
+_bb_tried = False
 
 
 def _compile(src: str, so: str, extra: Tuple[str, ...] = ()) -> bool:
@@ -118,6 +122,50 @@ def load_fastq_lib() -> Optional[ctypes.CDLL]:
             lib.fq_next_batch.restype = ctypes.c_longlong
             _fq_lib = lib
             return _fq_lib
+        except OSError:
+            return None
+
+
+def load_bbduk_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the bbduk scan kernels; None on
+    failure (callers fall back to the numpy scans)."""
+    global _bb_lib, _bb_tried
+    with _lock:
+        if _bb_lib is not None:
+            return _bb_lib
+        if _bb_tried:
+            return None
+        _bb_tried = True
+        if not os.path.exists(_BB_SO) or os.path.getmtime(_BB_SO) < os.path.getmtime(_BB_SRC):
+            if not _compile(_BB_SRC, _BB_SO, ("-pthread",)):
+                return None
+        try:
+            lib = ctypes.CDLL(_BB_SO)
+            lib.bbduk_entropy.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.bbduk_entropy.restype = None
+            lib.bbduk_qtrim.argtypes = [
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.bbduk_qtrim.restype = None
+            _bb_lib = lib
+            return _bb_lib
         except OSError:
             return None
 

@@ -67,6 +67,34 @@ class PipelineConfig:
         return self.read_len * 3 // 5  # runMegaPath.sh:78
 
 
+class LazyRecords:
+    """List-like view that materializes LSAM records on first access.
+
+    run_records callers that only read the reports (the common batch
+    loop; the bench) skip the record-object build entirely — the
+    reference equivalent is that lsam.gz is only *written*, never
+    re-parsed, on the happy path (runMegaPath.sh:208)."""
+
+    def __init__(self, thunk):
+        self._thunk = thunk
+        self._items: Optional[List[LsamRecord]] = None
+
+    def _force(self) -> List[LsamRecord]:
+        if self._items is None:
+            self._items = self._thunk()
+            self._thunk = None
+        return self._items
+
+    def __iter__(self):
+        return iter(self._force())
+
+    def __len__(self) -> int:
+        return len(self._force())
+
+    def __getitem__(self, i):
+        return self._force()[i]
+
+
 @dataclass
 class PipelineResult:
     report: str
@@ -201,10 +229,109 @@ class MegaPathPipeline:
             ]
             counters = np.zeros(4, dtype=np.int64)  # in, pre, hg, ribo
             base = 0
-            with timer.stage("align"), open(raw_lsam, "w") as lsam_out:
-                for batch in stream_read_pairs(
+
+            # ---- per-batch resume journal -----------------------------
+            # Each completed batch appends one npz under .align_batches/;
+            # a killed run replays the journal (cheap array loads), skips
+            # that many parsed batches, truncates the raw LSAM to the
+            # last recorded byte offset, and realigns only the rest —
+            # the reference gates whole stages (runMegaPath.sh:109-246);
+            # this is the finer per-batch version of that contract.
+            bdir = out_prefix + ".align_batches"
+            os.makedirs(bdir, exist_ok=True)
+            n_done = 0
+            lsam_off = 0
+            while True:
+                bp = os.path.join(bdir, f"batch{n_done:06d}.npz")
+                if not os.path.exists(bp):
+                    break
+                z = np.load(bp, allow_pickle=False)
+                acc_rows.append(tuple(
+                    z[k] for k in ("read", "end", "sp", "sk", "score")
+                ))
+                acc_best.append(z["best"])
+                for si in range(len(self.nt_engines)):
+                    if len(z[f"spk{si}_read"]):
+                        spike_acc[si].append(tuple(
+                            z[f"spk{si}_{k}"]
+                            for k in ("read", "seq", "start", "stop")
+                        ))
+                counters += z["counters"]
+                base = int(z["base_after"])
+                lsam_off = int(z["lsam_off_after"])
+                n_done += 1
+            if n_done:
+                print(
+                    f"[stream] resuming after {n_done} journaled batches "
+                    f"({base} pairs)", file=sys.stderr,
+                )
+                with open(raw_lsam, "a") as f:
+                    f.truncate(lsam_off)
+            else:
+                open(raw_lsam, "w").close()
+
+            # writer thread: LSAM record build + journal write of batch
+            # i overlap the align of batch i+1 (the output-thread half
+            # of soap4's MultiThreadDelegator)
+            import queue as _queue
+            import threading as _threading
+
+            wq: "_queue.Queue" = _queue.Queue(maxsize=2)
+            werr: List[BaseException] = []
+
+            def _writer():
+                nonlocal lsam_off
+                with open(raw_lsam, "r+" if n_done else "w") as lsam_out:
+                    lsam_out.seek(lsam_off)
+                    lsam_out.truncate()
+                    while True:
+                        item = wq.get()
+                        if item is None:
+                            return
+                        try:
+                            (bi, recs1, recs2, best_b, brows, bspk,
+                             bcounters, base_before, base_after) = item
+                            for rec in self._build_lsam_records(
+                                recs1, recs2,
+                                np.ones(base_after - base_before, bool),
+                                best_b, *brows,
+                            ):
+                                lsam_out.write(rec.to_line() + "\n")
+                            lsam_out.flush()
+                            save = dict(
+                                read=brows[0] + base_before, end=brows[1],
+                                sp=brows[2], sk=brows[3], score=brows[4],
+                                best=best_b, counters=bcounters,
+                                base_after=base_after,
+                                lsam_off_after=lsam_out.tell(),
+                            )
+                            for si, part in enumerate(bspk):
+                                for k, a in zip(
+                                    ("read", "seq", "start", "stop"), part
+                                ):
+                                    save[f"spk{si}_{k}"] = a
+                            tmp = os.path.join(bdir, f".tmp{bi:06d}.npz")
+                            np.savez_compressed(tmp, **save)
+                            os.replace(
+                                tmp,
+                                os.path.join(bdir, f"batch{bi:06d}.npz"),
+                            )
+                        except BaseException as e:  # propagate
+                            werr.append(e)
+                            return
+
+            wt = _threading.Thread(target=_writer, daemon=True)
+            wt.start()
+
+            with timer.stage("align"):
+              try:
+                for bi, batch in enumerate(stream_read_pairs(
                     r1_path, r2_path, batch_size=bs, max_len=cfg.max_read_len
-                ):
+                )):
+                    if bi < n_done:
+                        continue  # journaled: parsed-and-skipped on resume
+                    if werr:
+                        break
                     names = [trim_readno(n_) for n_ in batch.names]
                     recs1 = [
                         FastqRecord(n_, s_, q_)
@@ -214,31 +341,35 @@ class MegaPathPipeline:
                         FastqRecord(n_, s_, q_)
                         for n_, s_, q_ in zip(names, batch.seqs2, batch.quals2)
                     ]
-                    counters[0] += len(recs1)
+                    bcounters = np.zeros(4, dtype=np.int64)
+                    bcounters[0] = len(recs1)
                     (recs1, recs2, reads1, lens1, reads2, lens2,
                      n_pre, n_hg, n_ribo) = self._filter_batch(recs1, recs2)
-                    counters[1] += n_pre
-                    counters[2] += n_hg
-                    counters[3] += n_ribo
+                    bcounters[1:] = (n_pre, n_hg, n_ribo)
+                    counters += bcounters
                     per_shard = self._align_shards(
                         reads1, lens1, reads2, lens2, n_ribo
                     )
+                    bspk = []
                     for si, hits in enumerate(per_shard):
                         if len(hits):
                             off = self.nt_engines[si].ref.offsets[hits.seq]
-                            spike_acc[si].append(
-                                (hits.read + base, hits.seq,
-                                 hits.start - off, hits.stop - off)
-                            )
+                            part = (hits.read + base, hits.seq,
+                                    hits.start - off, hits.stop - off)
+                            spike_acc[si].append(part)
+                            bspk.append(part)
+                        else:
+                            bspk.append(tuple(
+                                np.zeros(0, np.int64) for _ in range(4)
+                            ))
                     read, end, sp, sk, score, best_b = self._merge_arrays(
                         per_shard, n_ribo
                     )
-                    # stream this batch's (unfiltered) LSAM.id rows
-                    for rec in self._build_lsam_records(
-                        recs1, recs2, np.ones(n_ribo, bool), best_b,
-                        read, end, sp, sk, score,
-                    ):
-                        lsam_out.write(rec.to_line() + "\n")
+                    wq.put((
+                        bi, recs1, recs2, best_b,
+                        (read, end, sp, sk, score), bspk, bcounters,
+                        base, base + n_ribo,
+                    ))
                     acc_rows.append(
                         (read + base, end, sp, sk, score)
                     )
@@ -248,6 +379,11 @@ class MegaPathPipeline:
                         f"[stream] batch done: {base} pairs aligned so far",
                         file=sys.stderr,
                     )
+              finally:
+                wq.put(None)
+                wt.join()
+              if werr:
+                  raise werr[0]
             rows = (
                 tuple(
                     np.concatenate([p[i] for p in acc_rows])
@@ -283,6 +419,11 @@ class MegaPathPipeline:
             ]
             with open(out_prefix + ".align.done", "w") as f:
                 f.write("ok\n")
+            # the stage gate supersedes the per-batch journal; drop it
+            # so stale batch files can never leak into a future resume
+            import shutil
+
+            shutil.rmtree(bdir, ignore_errors=True)
 
         n = int(counters[3])
         if int(counters[0]) > 0:
@@ -559,15 +700,15 @@ class MegaPathPipeline:
         )
         read, end, sp, sk, score = rows
 
-        lsam_id = self._build_lsam_records(
+        lsam_id = LazyRecords(lambda: self._build_lsam_records(
             recs1, recs2, keep_read, best, read, end, sp, sk, score
-        )
-        ra_lsam = self._build_lsam_records(
+        ))
+        ra_lsam = LazyRecords(lambda: self._build_lsam_records(
             recs1, recs2, keep_read, best,
             read[~drop], end[~drop], sp[~drop], sk[~drop], score[~drop],
             reassigned=True,
             sk_full=(read, end, sk),
-        )
+        ))
         return PipelineResult(
             report=report,
             ra_report=ra_report,
@@ -717,6 +858,13 @@ class MegaPathPipeline:
         reassign tool; ``sk_full`` supplies the pre-reassign rows whose
         superkingdom set labels the opts column (the reference keeps
         the original annotation columns through reassign)."""
+        # byte parity depends on integer text ('3', never '3.0'): the
+        # .tolist() fast paths below format values verbatim
+        for a in (sp, score, best):
+            assert np.asarray(a).dtype.kind in "iu", (
+                f"_build_lsam_records requires integer arrays, got "
+                f"{np.asarray(a).dtype}"
+            )
         db = self.taxdb
         name_cache: Dict[int, str] = {}
 

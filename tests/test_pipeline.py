@@ -261,3 +261,64 @@ def test_run_files_aborts_on_empty_stage(world, tmp_path):
     _write_fastq(r2, p2)
     with pytest.raises(PipelineAbort, match="host filtering"):
         pipe.run_files(str(p1), str(p2), str(tmp_path / "ab"))
+
+
+def test_run_files_resumes_from_batch_journal(world, tmp_path):
+    """Per-batch resume: a run killed at batch k replays the journal
+    and realigns only batches >= k (finer than the reference's
+    stage-level .done gates, runMegaPath.sh:109-246)."""
+    import pytest
+
+    shard0, shard1, hg_shard, seqs, db = world
+    rng = np.random.default_rng(9)
+    cfg = PipelineConfig(read_len=80, skip_preprocess=True, batch_size=5)
+    pipe = MegaPathPipeline([shard0, shard1], db, hg_shard=hg_shard, config=cfg)
+
+    r1, r2 = [], []
+    for key, n in [
+        ("NC_000913.1 Escherichia coli K-12", 8),
+        ("NC_045512.1 SARS-CoV-2", 9),
+    ]:
+        a, b = _pairs_from(seqs, key, rng, n)
+        r1 += a
+        r2 += b
+    want = pipe.run_records(r1, r2)
+
+    p1, p2 = tmp_path / "j1.fq", tmp_path / "j2.fq"
+    _write_fastq(r1, p1)
+    _write_fastq(r2, p2)
+
+    # crash the run inside batch 2 (after 2 journaled batches)
+    orig = pipe._align_shards
+    calls = {"n": 0}
+
+    def bomb(*a, **k):
+        if calls["n"] == 2:
+            raise RuntimeError("synthetic crash at batch 2")
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    pipe._align_shards = bomb
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        pipe.run_files(str(p1), str(p2), str(tmp_path / "jr"))
+    bdir = tmp_path / "jr.align_batches"
+    assert sorted(p.name for p in bdir.iterdir()) == [
+        "batch000000.npz", "batch000001.npz"
+    ]
+    assert not (tmp_path / "jr.align.done").exists()
+
+    # resume: only the remaining batches align (2 more of 4 total)
+    calls2 = {"n": 0}
+
+    def count(*a, **k):
+        calls2["n"] += 1
+        return orig(*a, **k)
+
+    pipe._align_shards = count
+    got = pipe.run_files(str(p1), str(p2), str(tmp_path / "jr"))
+    assert calls2["n"] == 2  # batches 2 and 3 only
+    assert got.report == want.report
+    assert got.ra_report == want.ra_report
+    lines = (tmp_path / "jr.nt.lsam.id").read_text().splitlines()
+    assert lines == [rec.to_line() for rec in want.lsam_id]
+    assert not bdir.exists()  # journal dropped once the stage gate lands
