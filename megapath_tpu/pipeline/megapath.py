@@ -678,7 +678,24 @@ class MegaPathPipeline:
         n = n_ribo
 
         per_shard_hits = self._align_shards(reads1, lens1, reads2, lens2, n)
+        return self._finish_records(
+            recs1, recs2, per_shard_hits, n,
+            n_input=n_input, n_pre=n_pre, n_hg=n_hg,
+        )
 
+    def _finish_records(
+        self,
+        recs1: List[FastqRecord],
+        recs2: List[FastqRecord],
+        per_shard_hits: List[BatchHits],
+        n: int,
+        n_input: int = 0,
+        n_pre: int = 0,
+        n_hg: int = 0,
+    ) -> PipelineResult:
+        """Post-alignment tail (SPIKE -> merge -> reassign -> reports)
+        on precomputed per-shard hit tables — shared by the host
+        engines and the one-program SPMD backend (parallel.spmd_full)."""
         # -- SPIKE filter (runMegaPath.sh:211-221) ---------------------
         spike_removed = self._spike_banned(per_shard_hits, n)
         n_spiked = len(spike_removed)
@@ -718,7 +735,7 @@ class MegaPathPipeline:
             n_after_preprocess=n_pre,
             n_after_human=n_hg,
             spike_removed=n_spiked,
-            n_after_ribo=n_ribo,
+            n_after_ribo=n,
         )
 
     def _spike_banned(
