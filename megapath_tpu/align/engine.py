@@ -204,6 +204,7 @@ class AlignEngine:
         params: AlignParams,
         device_seeding: bool = False,
         device=None,
+        lazy_device: bool = False,
     ):
         self.ref = ref
         self.fm = fm
@@ -211,6 +212,7 @@ class AlignEngine:
         self.dfm = None
         self.device = device
         self._ref_dev = None
+        self._device_seeding = device_seeding
         self.seed_segment_threshold: Optional[int] = None  # see _device_seeds
         # pipelined-batch chunk size (pairs): batches >= 2 chunks run
         # seed-walk(i+1) before decode(i) so host work hides behind the
@@ -220,17 +222,37 @@ class AlignEngine:
         # the same verdict as seed_segment_threshold. Set e.g. 8192 on
         # direct-attached hardware where a sync is ~us, not ~ms.
         self.chunk_pairs: int = 0
-        if device_seeding:
+        # lazy_device keeps the shard's tables in host RAM until
+        # commit(): with more shards than devices the pipeline rotates
+        # shards through HBM between waves instead of double-booking it
+        # (the 250 GB NT build is ~125 shards at the 2 Gbp cap,
+        # /root/reference/README.md:13, splitFasta.pl:19)
+        if not lazy_device:
+            self.commit()
+
+    def commit(self) -> None:
+        """Stage this shard's device tables into its device's HBM."""
+        if self._device_seeding and self.dfm is None:
             from megapath_tpu.align.seeding_jax import DeviceFM
 
-            self.dfm = DeviceFM.from_host(fm, device=device)
-        if device is not None:
+            self.dfm = DeviceFM.from_host(self.fm, device=self.device)
+        if self.device is not None and self._ref_dev is None:
             # commit the shard text now so every jit call on this
             # engine executes on its mesh device (uncommitted numpy
             # inputs follow the committed arguments)
             import jax
 
-            self._ref_dev = jax.device_put(ref.codes, device)
+            self._ref_dev = jax.device_put(self.ref.codes, self.device)
+
+    def evict(self) -> None:
+        """Drop the shard's device tables (host copies stay); the next
+        commit() re-stages them."""
+        self.dfm = None
+        self._ref_dev = None
+
+    @property
+    def committed(self) -> bool:
+        return self.dfm is not None or self._ref_dev is not None
 
     # ------------------------------------------------------------------
     def seed_positions(

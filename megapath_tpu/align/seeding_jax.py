@@ -38,7 +38,8 @@ class DeviceFM:
     """
 
     def __init__(self, n, primary, bwt_words, fused_rows, lut_pairs,
-                 counts, lut_k, mark_bits, sa_sampled, sa_interval):
+                 counts, lut_k, mark_words, mark_chk, sa_sampled,
+                 sa_interval):
         self.n = n
         self.primary = primary
         self.bwt_words = bwt_words  # uint32 [n_words]
@@ -51,22 +52,30 @@ class DeviceFM:
         self.lut_pairs = lut_pairs  # uint32 [4^k, 2] (lo, hi) rows
         self.counts = counts  # int32 [5]
         self.lut_k = lut_k
-        self.mark_bits = mark_bits  # int32 [n+2] prefix rank of marks
+        # sampled-SA mark rank as bitmap + 32-row checkpoints: 0.25
+        # bytes/char on device instead of the 4 B/char full int32
+        # prefix array — the difference between ~6 GB/Gbp and ~2.4
+        # GB/Gbp of HBM per committed shard (SCALING.md), at the same
+        # gather count per locate step (one word + one checkpoint).
+        self.mark_words = mark_words  # uint32 [ceil((n+1)/32)] bitmap
+        self.mark_chk = mark_chk  # int32 [same] rank of marks < 32*w
         self.sa_sampled = sa_sampled  # int32 [n_marked]
         self.sa_interval = sa_interval
 
     def tree_flatten(self):
         leaves = (self.bwt_words, self.fused_rows, self.lut_pairs,
-                  self.counts, self.mark_bits, self.sa_sampled)
+                  self.counts, self.mark_words, self.mark_chk,
+                  self.sa_sampled)
         aux = (self.n, self.primary, self.lut_k, self.sa_interval)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         n, primary, lut_k, sa_interval = aux
-        bwt_words, fused_rows, lut_pairs, counts, mark_bits, sa_sampled = leaves
+        (bwt_words, fused_rows, lut_pairs, counts, mark_words, mark_chk,
+         sa_sampled) = leaves
         return cls(n, primary, bwt_words, fused_rows, lut_pairs, counts,
-                   lut_k, mark_bits, sa_sampled, sa_interval)
+                   lut_k, mark_words, mark_chk, sa_sampled, sa_interval)
 
     @classmethod
     def from_host(cls, fm: FMIndex, device=None) -> "DeviceFM":
@@ -93,6 +102,7 @@ class DeviceFM:
             )
         else:
             lut_pairs = np.zeros((1, 2), np.uint32)
+        mark_words, mark_chk = pack_mark_rank(fm.mark_rank, int(fm.n))
         return cls(
             n=int(fm.n),
             primary=int(fm.primary),
@@ -101,10 +111,40 @@ class DeviceFM:
             lut_pairs=put(lut_pairs),
             counts=put(fm.counts.astype(np.int32)),
             lut_k=int(lut_k),
-            mark_bits=put(fm.mark_rank.astype(np.int32)),
+            mark_words=put(mark_words),
+            mark_chk=put(mark_chk),
             sa_sampled=put(fm.sa_sampled.astype(np.int32)),
             sa_interval=int(fm.sa_interval),
         )
+
+
+def pack_mark_rank(mark_rank: np.ndarray, n: int):
+    """Host prefix-rank array [n+2] -> (bitmap uint32 [ceil((n+1)/32)],
+    32-row rank checkpoints int32)."""
+    mr = np.asarray(mark_rank, np.int64)
+    marked = mr[1 : n + 2] != mr[: n + 1]  # marked(r), r in [0, n]
+    nw = (n + 1 + 31) // 32
+    pad = np.zeros(nw * 32, bool)
+    pad[: n + 1] = marked
+    bits = pad.reshape(nw, 32)
+    shifts = np.arange(32, dtype=np.uint32)
+    words = (bits.astype(np.uint32) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint32
+    )
+    chk = mr[0 : nw * 32 : 32].astype(np.int32)
+    return words, chk
+
+
+def _mark_lookup(dfm: DeviceFM, r: jnp.ndarray):
+    """(is_marked(r), rank-of-marks-below-r) from the bitmap."""
+    w = jnp.take(dfm.mark_words, r >> 5)
+    bit = (r & 31).astype(jnp.uint32)
+    hit = ((w >> bit) & jnp.uint32(1)) > 0
+    below = w & ((jnp.uint32(1) << bit) - jnp.uint32(1))
+    rank = jnp.take(dfm.mark_chk, r >> 5) + jax.lax.population_count(
+        below
+    ).astype(jnp.int32)
+    return hit, rank
 
 
 def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -588,9 +628,6 @@ def device_locate(dfm: DeviceFM, rowsv: jnp.ndarray, sa_interval: int) -> jnp.nd
     """Batched LF-walk locate of full rows (int32)."""
     rowsv = rowsv.astype(jnp.int32)
 
-    def is_marked(r):
-        return (dfm.mark_bits[r + 1] - dfm.mark_bits[r]) > 0
-
     def bwt_char(r):
         adj = r - (r > dfm.primary).astype(jnp.int32)
         w = dfm.bwt_words[adj // WORD_CHARS]
@@ -605,8 +642,9 @@ def device_locate(dfm: DeviceFM, rowsv: jnp.ndarray, sa_interval: int) -> jnp.nd
     cur = rowsv
     steps = jnp.zeros(rowsv.shape, jnp.int32)
     for _ in range(sa_interval + 1):
-        hit = (pos < 0) & is_marked(cur)
-        pos = jnp.where(hit, dfm.sa_sampled[dfm.mark_bits[cur]] + steps, pos)
+        marked, rank = _mark_lookup(dfm, cur)
+        hit = (pos < 0) & marked
+        pos = jnp.where(hit, dfm.sa_sampled[rank] + steps, pos)
         todo = pos < 0
         cur = jnp.where(todo, lf(cur), cur)
         steps = steps + todo.astype(jnp.int32)

@@ -99,7 +99,8 @@ class StackedFMPad(NamedTuple):
     fused_rows: jnp.ndarray  # [S, R_max, C] uint32
     lut_pairs: jnp.ndarray  # [S, 4^k, 2] uint32
     counts: jnp.ndarray  # [S, 5] int32
-    mark_bits: jnp.ndarray  # [S, nm_max] int32
+    mark_words: jnp.ndarray  # [S, nm_max] uint32 bitmap
+    mark_chk: jnp.ndarray  # [S, nm_max] int32 rank checkpoints
     sa_sampled: jnp.ndarray  # [S, ns_max] int32
     primary: jnp.ndarray  # [S] int32
     n: jnp.ndarray  # [S] int32 true text length
@@ -135,7 +136,8 @@ def stack_fms_exact(fms: Sequence[FMIndex]) -> Tuple[StackedFMPad, FMMetaPad]:
         fused_rows=pad_stack([d.fused_rows for d in dfms], np.uint32),
         lut_pairs=pad_stack([d.lut_pairs for d in dfms], np.uint32),
         counts=pad_stack([d.counts for d in dfms], np.int32),
-        mark_bits=pad_stack([d.mark_bits for d in dfms], np.int32),
+        mark_words=pad_stack([d.mark_words for d in dfms], np.uint32),
+        mark_chk=pad_stack([d.mark_chk for d in dfms], np.int32),
         sa_sampled=pad_stack([d.sa_sampled for d in dfms], np.int32),
         primary=jnp.asarray([d.primary for d in dfms], jnp.int32),
         n=jnp.asarray([d.n for d in dfms], jnp.int32),
@@ -232,8 +234,9 @@ def build_spmd_full_engine(
             lut_pairs=fm_leaves[2][0],
             counts=fm_leaves[3][0],
             lut_k=meta.lut_k,
-            mark_bits=fm_leaves[4][0],
-            sa_sampled=fm_leaves[5][0],
+            mark_words=fm_leaves[4][0],
+            mark_chk=fm_leaves[5][0],
+            sa_sampled=fm_leaves[6][0],
             sa_interval=meta.sa_interval,
         )
         ref = ref_local[0]
@@ -636,7 +639,7 @@ def build_spmd_full_engine(
         local_step,
         mesh=mesh,
         in_specs=(
-            (P("shard"),) * 6,
+            (P("shard"),) * 7,
             P("shard"), P("shard"), P("shard"), P("shard"),
             P("data"), P("data"), P("data"), P("data"),
         ),
@@ -649,7 +652,8 @@ def build_spmd_full_engine(
     def step(sfm: StackedFMPad, ref_codes, seq_offsets,
              reads1, reads2, lens1, lens2):
         leaves = (sfm.bwt_words, sfm.fused_rows, sfm.lut_pairs,
-                  sfm.counts, sfm.mark_bits, sfm.sa_sampled)
+                  sfm.counts, sfm.mark_words, sfm.mark_chk,
+                  sfm.sa_sampled)
         out = shmapped(
             leaves, sfm.primary, sfm.n, ref_codes, seq_offsets,
             reads1, reads2, lens1, lens2,

@@ -130,17 +130,26 @@ class MegaPathPipeline:
         self.taxdb = taxdb
         self.adapters = adapters
         devs: List = list(devices) if devices else []
+        # with more shards than devices, HBM cannot hold every shard's
+        # tables at once: engines stay host-staged (lazy) and
+        # _align_shards rotates them through the devices in waves
+        self._n_devices = len(devs)
+        self._wave_shards = bool(devs) and len(nt_shards) > len(devs)
         self.nt_engines = [
             AlignEngine(ref, fm, NT_PARAMS.with_(top_percentage=self.cfg.top_percentage),
                         device_seeding=self.cfg.device_seeding,
-                        device=devs[i % len(devs)] if devs else None)
+                        device=devs[i % len(devs)] if devs else None,
+                        lazy_device=self._wave_shards)
             for i, (ref, fm) in enumerate(nt_shards)
         ]
         self._pool = None
         if devs and len(nt_shards) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            self._pool = ThreadPoolExecutor(max_workers=len(nt_shards))
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(len(nt_shards), max(len(devs), 1))
+                if self._wave_shards else len(nt_shards)
+            )
         self.hg_engine = (
             AlignEngine(hg_shard[0], hg_shard[1], HG_PARAMS,
                         device_seeding=self.cfg.device_seeding,
@@ -624,6 +633,34 @@ class MegaPathPipeline:
         sequential shard cascade."""
         if not n:
             return [BatchHits.empty() for _ in self.nt_engines]
+        if self._wave_shards:
+            # shard rotation: HBM holds at most n_devices shards at a
+            # time; each wave commits its shards, aligns concurrently,
+            # then evicts so the next wave's device_put sees free HBM
+            out: List[BatchHits] = [None] * len(self.nt_engines)  # type: ignore
+            W = max(self._n_devices, 1)
+            for w0 in range(0, len(self.nt_engines), W):
+                wave = list(range(w0, min(w0 + W, len(self.nt_engines))))
+                for i in wave:
+                    self.nt_engines[i].commit()
+                if self._pool is not None:
+                    futs = {
+                        i: self._pool.submit(
+                            self.nt_engines[i].align_pairs,
+                            reads1, lens1, reads2, lens2,
+                        )
+                        for i in wave
+                    }
+                    for i in wave:
+                        out[i] = futs[i].result()
+                else:
+                    for i in wave:
+                        out[i] = self.nt_engines[i].align_pairs(
+                            reads1, lens1, reads2, lens2
+                        )
+                for i in wave:
+                    self.nt_engines[i].evict()
+            return out
         if self._pool is not None:
             futs = [
                 self._pool.submit(e.align_pairs, reads1, lens1, reads2, lens2)
