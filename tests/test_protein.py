@@ -248,3 +248,80 @@ def test_protein_remap_stage(mini_taxdb):
     assert {t for _, t in r2g_by["mapped"].hits} == {"694009"}
     # report counts u1 + mapped (contig_ rows excluded), not u2
     assert "Severe acute" in report or "694009" in report
+
+
+# ---------------------------------------------------------------------------
+# parity vs the VENDORED ac-diamond binary (golden pinned by
+# tests/fixtures/make_protein_fixtures.py from
+# /root/reference/ac-diamond-0.1-beta-linux64/ac-diamond, the binary
+# runMegaPath.sh:312-316 invokes)
+# ---------------------------------------------------------------------------
+
+
+def _read_fasta(path):
+    out = []
+    name, seq = None, []
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            if name:
+                out.append((name, "".join(seq)))
+            name, seq = line[1:].split()[0], []
+        else:
+            seq.append(line)
+    if name:
+        out.append((name, "".join(seq)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def acd_world():
+    import pathlib
+
+    fix = pathlib.Path(__file__).parent / "fixtures" / "protein"
+    prots = _read_fasta(fix / "prot.fa")
+    contigs = _read_fasta(fix / "contigs.fa")
+    golden = {}
+    for line in open(fix / "acd.m8"):
+        c = line.rstrip("\n").split("\t")
+        golden[c[0]] = c  # one (top) hit per query in the fixture
+    db = ProteinDB.build(prots)
+    queries = [(n, enc_dna(s)) for n, s in contigs]
+    ours_lines = blastx_m8(queries, db)
+    ours = {}
+    for line in ours_lines:
+        c = line.split("\t")
+        ours.setdefault(c[0], []).append(c)
+    return golden, ours
+
+
+def test_acd_hit_pairs_match(acd_world):
+    """Every ac-diamond (query -> subject) top pair is recovered, and
+    junk queries stay hitless on both sides."""
+    golden, ours = acd_world
+    for q, g in golden.items():
+        assert q in ours, f"{q}: ac-diamond hit {g[1]}, we found nothing"
+        top = max(ours[q], key=lambda c: float(c[11]))
+        assert top[1] == g[1], f"{q}: want {g[1]}, got {top[1]}"
+    for q in ours:
+        if q.endswith("_junk"):
+            raise AssertionError(f"junk query {q} produced hits: {ours[q]}")
+
+
+def test_acd_scores_and_coords_match(acd_world):
+    """Bitscores within 10% of ac-diamond's; exact-match contigs also
+    reproduce the aligned length, identity and subject coordinates."""
+    golden, ours = acd_world
+    for q, g in golden.items():
+        top = max(ours[q], key=lambda c: float(c[11]))
+        g_bits, o_bits = float(g[11]), float(top[11])
+        assert abs(o_bits - g_bits) <= 0.10 * g_bits, (
+            f"{q}: bitscore {o_bits} vs golden {g_bits}"
+        )
+        if float(g[2]) == 100.0:  # exact-match contigs: hard columns
+            assert float(top[2]) == 100.0, f"{q}: pident {top[2]}"
+            assert top[3] == g[3], f"{q}: length {top[3]} vs {g[3]}"
+            assert top[4] == g[4] == "0"
+            assert (top[8], top[9]) == (g[8], g[9]), (
+                f"{q}: subject span {top[8]}-{top[9]} vs {g[8]}-{g[9]}"
+            )
