@@ -272,6 +272,19 @@ def sw_traceback(
     covers read[start_read:end_read] with soft clips added by callers.
     Host-side: runs only on reported hits (a tiny fraction of DP work).
     """
+    i, j, ops = sw_traceback_ops(read, ref, end_ref, end_read, params)
+    cigar = _runlength(ops)
+    edit = sum(1 for o in ops if o in "XID")
+    return i, j, cigar, edit
+
+
+def sw_traceback_ops(
+    read: np.ndarray, ref: np.ndarray, end_ref: int, end_read: int,
+    params: DPParams = DPParams(),
+) -> Tuple[int, int, list]:
+    """Like sw_traceback but returns the raw per-cell op list
+    (M/X/I/D, mismatches NOT folded into M) — variant extraction
+    needs the distinction."""
     R, W = int(end_read), int(end_ref)
     read = np.asarray(read[:R], dtype=np.int64)
     ref = np.asarray(ref[:W], dtype=np.int64)
@@ -308,9 +321,7 @@ def sw_traceback(
                 state = "H"
             j -= 1
     ops.reverse()
-    cigar = _runlength(ops)
-    edit = sum(1 for o in ops if o in "XID")
-    return i, j, cigar, edit
+    return i, j, ops
 
 
 def _runlength(ops: list) -> str:

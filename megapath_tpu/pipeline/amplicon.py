@@ -61,6 +61,67 @@ class AmpliconResult:
     variants: List[Variant]
 
 
+def _hap_variants(window: str, hap: str, _params=None):
+    """(0-based window pos, ref allele, alt allele) triples from one
+    haplotype's alignment to the reference window. Indels are anchored
+    on the previous reference base (VCF convention); runs of
+    mismatches emit one SNP per position."""
+    from megapath_tpu.amplicon.realign import SSW_PARAMS
+    from megapath_tpu.index.pack import encode_seq
+    from megapath_tpu.ops.dp import sw_align, sw_traceback_ops
+
+    wc = encode_seq(window)
+    hc = encode_seq(hap)
+    res = sw_align(
+        hc[None, :], wc[None, :],
+        np.array([len(hc)], np.int32), np.array([len(wc)], np.int32),
+        params=SSW_PARAMS,
+    )
+    e_ref = int(np.asarray(res.end_ref)[0])
+    e_read = int(np.asarray(res.end_read)[0])
+    if e_ref == 0 or e_read == 0:
+        return []
+    s_ref, s_read, ops = sw_traceback_ops(
+        hc[:e_read], wc[:e_ref], e_ref, e_read, SSW_PARAMS
+    )
+    out = []
+    i, j = s_ref, s_read  # window / haplotype cursors
+    k = 0
+    while k < len(ops):
+        o = ops[k]
+        if o == "M":
+            i += 1
+            j += 1
+            k += 1
+        elif o == "X":
+            out.append((i, window[i], hap[j]))
+            i += 1
+            j += 1
+            k += 1
+        elif o == "I":  # bases present in hap, absent from ref
+            run = 0
+            while k < len(ops) and ops[k] == "I":
+                run += 1
+                k += 1
+            if i > 0:
+                out.append((
+                    i - 1, window[i - 1],
+                    window[i - 1] + hap[j : j + run],
+                ))
+            j += run
+        else:  # 'D': bases present in ref, absent from hap
+            run = 0
+            while k < len(ops) and ops[k] == "D":
+                run += 1
+                k += 1
+            if i > 0:
+                out.append((
+                    i - 1, window[i - 1 : i + run], window[i - 1],
+                ))
+            i += run
+    return out
+
+
 class AmpliconPipeline:
     def __init__(
         self,
@@ -304,7 +365,21 @@ class AmpliconPipeline:
     def _call_and_realign(
         self, hits, ok, recs1, recs2, reads1, lens1, reads2, lens2
     ) -> List[Variant]:
-        """Pileup SNP candidates + dBG/SSW realignment confirmation."""
+        """Haplotype-based variant calling (SNPs AND indels, mixed AF).
+
+        Fills the GATK HaplotypeCaller stage's role
+        (runMegaPath-Amplicon.sh:202-238) with the realignment
+        subsystem's machinery: pileup mismatches nominate candidate
+        windows (an indel shows up as a mismatch cluster downstream of
+        the gap under ungapped projection), dBG candidate haplotypes +
+        batched-SSW read assignment (amplicon.realign.realign_window)
+        pick the supported haplotypes, and variants are read off each
+        winning haplotype's alignment to the reference window.
+        Divergences from HaplotypeCaller: no quality-weighted pair-HMM
+        genotype likelihoods (read counts stand in for GQ/PL) and no
+        joint genotyping across samples — see
+        tests/test_amplicon_pipeline.py planted-truth accuracy.
+        """
         cfg = self.cfg
         ref = self.target_ref
         n = ref.total_len
@@ -331,45 +406,87 @@ class AmpliconPipeline:
             for m in mism:
                 alt_counts[g0 + int(m)][int(codes[m])] += 1
 
-        out: List[Variant] = []
-        for pos, alts in sorted(alt_counts.items()):
-            d = int(depth[pos])
-            if d < cfg.min_depth:
-                continue
-            alt, cnt = max(alts.items(), key=lambda kv: kv[1])
-            if cnt < cfg.min_allele_frac * d:
-                continue
-            # realignment confirmation around the site
-            pad = cfg.realign_window_pad
-            w0 = max(0, pos - pad)
-            w1 = min(n, pos + pad)
+        # candidate sites -> merged windows
+        pad = cfg.realign_window_pad
+        sites = sorted(
+            pos for pos, alts in alt_counts.items()
+            if sum(alts.values()) >= 2 and depth[pos] >= cfg.min_depth
+        )
+        windows: List[Tuple[int, int]] = []
+        for pos in sites:
+            w0, w1 = max(0, pos - pad), min(n, pos + pad)
+            if windows and w0 <= windows[-1][1]:
+                windows[-1] = (windows[-1][0], max(windows[-1][1], w1))
+            else:
+                windows.append((w0, w1))
+
+        found: Dict[Tuple[str, int, str, str], Variant] = {}
+        for w0, w1 in windows:
             window = decode_seq(ref.codes[w0:w1])
-            support = self._window_reads(hits, ok, w0, w1, reads1, lens1, reads2, lens2)
-            if support:
-                ra = realign_window(window, support, k=21)
-                # variant confirmed if any non-ref haplotype won reads
-                ref_idx = ra.haplotypes.index(window) if window in ra.haplotypes else 0
-                if (ra.best_hap == ref_idx).all():
-                    # all reads fit the reference haplotype: drop
-                    continue
-            seq_idx, local = ref.local_pos(np.array([pos]))
-            out.append(
-                Variant(
-                    seq=ref.names[int(seq_idx[0])],
-                    pos=int(local[0]),
-                    ref="ACGT"[int(ref.codes[pos])],
-                    alt="ACGT"[alt],
-                    depth=d,
-                    alt_count=int(cnt),
-                )
+            support, spans = self._window_reads(
+                hits, ok, w0, w1, reads1, lens1, reads2, lens2,
+                with_spans=True,
             )
-        return out
+            if not support:
+                continue
+            ra = realign_window(window, support, k=21, compute_cigars=False)
+            has_score = (
+                np.asarray(ra.scores).max(axis=1) > 0
+                if len(ra.best_hap)
+                else np.zeros(0, bool)
+            )
+            if int(has_score.sum()) < cfg.min_depth:
+                continue
+            counts = np.bincount(
+                ra.best_hap[has_score], minlength=len(ra.haplotypes)
+            )
+            total = int(has_score.sum())
+            span_arr = np.asarray(spans, np.int64).reshape(-1, 2)
+            for hj, hap in enumerate(ra.haplotypes):
+                if hap == window:
+                    continue
+                cnt = int(counts[hj])
+                if cnt < max(2, cfg.min_allele_frac * total):
+                    continue
+                for vpos, vref, valt in _hap_variants(
+                    window, hap, self.target_engine.params
+                ):
+                    gpos = w0 + vpos
+                    # per-site AF: alt reads covering the site / pileup
+                    # depth at the site (window totals undercount AF
+                    # for reads that never reach the locus)
+                    covers = (
+                        has_score
+                        & (ra.best_hap == hj)
+                        & (span_arr[:, 0] <= gpos)
+                        & (span_arr[:, 1] > gpos)
+                    )
+                    site_alt = int(covers.sum())
+                    site_depth = max(int(depth[gpos]), site_alt)
+                    if site_alt < max(
+                        2, cfg.min_allele_frac * site_depth
+                    ):
+                        continue
+                    seq_idx, local = ref.local_pos(np.array([gpos]))
+                    key = (ref.names[int(seq_idx[0])], int(local[0]),
+                           vref, valt)
+                    v = found.get(key)
+                    if v is None or site_alt > v.alt_count:
+                        found[key] = Variant(
+                            seq=key[0], pos=key[1], ref=vref, alt=valt,
+                            depth=site_depth, alt_count=site_alt,
+                        )
+        return sorted(
+            found.values(), key=lambda v: (v.seq, v.pos, v.ref, v.alt)
+        )
 
     def _window_reads(
-        self, hits, ok, w0, w1, reads1, lens1, reads2, lens2
-    ) -> List[str]:
+        self, hits, ok, w0, w1, reads1, lens1, reads2, lens2,
+        with_spans: bool = False,
+    ):
         rows = np.flatnonzero(ok & (hits.start < w1) & (hits.stop > w0))
         out = []
+        spans = []
         for i in rows[:64]:
             r = int(hits.read[i])
             e = int(hits.end[i])
@@ -381,4 +498,7 @@ class AmpliconPipeline:
             if strand:
                 codes = COMPLEMENT[codes[::-1]]
             out.append(decode_seq(codes))
+            spans.append((int(hits.start[i]), int(hits.stop[i])))
+        if with_spans:
+            return out, spans
         return out

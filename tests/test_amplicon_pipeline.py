@@ -129,3 +129,87 @@ def test_assembly_filter_retains_region_reads(amp_world):
     )
     # dense coverage assembles a credible contig; region reads retained
     assert keep.sum() >= 25
+
+
+def test_variant_caller_planted_truth_recall_precision(amp_world, tmp_path):
+    """Planted-variant accuracy evidence for the HaplotypeCaller
+    replacement (runMegaPath-Amplicon.sh:202-238): hom SNP, het SNP
+    (AF~0.5), 3 bp deletion and 2 bp insertion planted in a TB-like
+    reference; the caller must reach recall = precision = 1.0 and the
+    emitted VCF is pinned as a golden."""
+    tb_pack = amp_world[0]
+    tb = amp_world[2]
+    rng = np.random.default_rng(21)
+
+    ENC = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+    snp_hom = 1000
+    del_at = 2500  # delete ref[2500:2503]
+    ins_at = 4000  # insert 2 bases after ref[4000]
+    snp_het = 4800
+
+    def apply_hom(codes):
+        codes = codes.copy()
+        codes[snp_hom] = (codes[snp_hom] + 1) % 4
+        ins_bases = np.array(
+            [(codes[ins_at] + 2) % 4, (codes[ins_at + 1] + 2) % 4], np.uint8
+        )
+        out = np.concatenate([
+            codes[: del_at],            # up to the deletion
+            codes[del_at + 3 : ins_at + 1],
+            ins_bases,
+            codes[ins_at + 1 :],
+        ])
+        return out
+
+    allele_a = apply_hom(tb)
+    allele_b = allele_a.copy()
+    # het SNP position shifts by the upstream indels (-3 then +2)
+    het_shifted = snp_het - 3 + 2
+    allele_b[het_shifted] = (allele_b[het_shifted] + 1) % 4
+
+    r1, r2 = [], []
+    for name, src, n in (("a", allele_a, 250), ("b", allele_b, 250)):
+        a1, a2 = _pairs(src, n, rng)
+        for i, (x, y) in enumerate(zip(a1, a2)):
+            x.name = y.name = f"{name}{i}"
+        r1 += a1
+        r2 += a2
+
+    pipe = AmpliconPipeline(
+        target=tb_pack, config=AmpliconConfig(final_as=80, min_depth=4)
+    )
+    res = pipe.run_records(r1, r2)
+
+    want = {
+        ("TB", snp_hom, "ACGT"[tb[snp_hom]], "ACGT"[(tb[snp_hom] + 1) % 4]),
+        ("TB", del_at - 1, decode_seq(tb[del_at - 1 : del_at + 3]),
+         "ACGT"[tb[del_at - 1]]),
+        ("TB", ins_at, "ACGT"[tb[ins_at]],
+         "ACGT"[tb[ins_at]]
+         + "ACGT"[(tb[ins_at] + 2) % 4] + "ACGT"[(tb[ins_at + 1] + 2) % 4]),
+        ("TB", snp_het, "ACGT"[tb[snp_het]],
+         "ACGT"[(tb[snp_het] + 1) % 4]),
+    }
+    got = {(v.seq, v.pos, v.ref, v.alt) for v in res.variants}
+    missing = want - got
+    extra = got - want
+    assert not missing and not extra, (
+        f"recall/precision != 1.0: missing={missing} extra={extra}"
+    )
+    # AF sanity: hom calls near 1.0, het near 0.5
+    by_pos = {v.pos: v for v in res.variants}
+    assert by_pos[snp_hom].alt_count / by_pos[snp_hom].depth > 0.8
+    assert 0.25 < by_pos[snp_het].alt_count / by_pos[snp_het].depth < 0.75
+    # pinned VCF golden (bytes): genotypes, per-site DP/AC, anchors
+    import io as _io
+    import pathlib
+
+    from megapath_tpu.io.vcf import write_vcf
+
+    buf = _io.StringIO()
+    write_vcf(res.variants, buf, contigs=[("TB", 6000)])
+    golden = (
+        pathlib.Path(__file__).parent / "fixtures" / "amplicon_planted.vcf"
+    ).read_text()
+    assert buf.getvalue() == golden
