@@ -124,6 +124,57 @@ _KMER = 32
 _MAX_MM = 2
 
 
+def realign_windows_batched(
+    jobs: Sequence[Tuple[str, Sequence[str]]],
+    k: int = 21,
+    min_edge_weight: int = 2,
+    params: DPParams = SSW_PARAMS,
+) -> List[WindowRealignment]:
+    """Score ALL windows' (read x haplotype) products in ONE device DP
+    call (the reference fans per-amplicon jobs out via GNU parallel,
+    runMegaPath-Amplicon.sh:122-130; here the windows become rows of a
+    single batch). Equivalent to per-window
+    ``realign_window(..., compute_cigars=False)`` calls."""
+    metas = []  # (n_r, n_h, haps)
+    rows_reads: List[str] = []
+    rows_haps: List[str] = []
+    for ref_window, reads in jobs:
+        haps = candidate_haplotypes(
+            ref_window, reads, k=k, min_edge_weight=min_edge_weight
+        )
+        metas.append((len(reads), len(haps), haps))
+        for r in reads:
+            for h in haps:
+                rows_reads.append(r)
+                rows_haps.append(h)
+    out: List[WindowRealignment] = []
+    if rows_reads:
+        Lr = max(len(r) for r in rows_reads)
+        Lh = max(len(h) for h in rows_haps)
+        R, RL = _pad_batch(rows_reads, Lr)
+        H, HL = _pad_batch(rows_haps, Lh)
+        res = sw_align(R, H, RL, HL, params=params)
+        all_scores = np.asarray(res.score)
+    ofs = 0
+    for n_r, n_h, haps in metas:
+        cnt = n_r * n_h
+        scores = (
+            all_scores[ofs : ofs + cnt].reshape(n_r, n_h)
+            if cnt
+            else np.zeros((n_r, max(n_h, 1)), np.int32)
+        )
+        ofs += cnt
+        best = (
+            scores.argmax(axis=1).astype(np.int32)
+            if n_h
+            else np.zeros(n_r, np.int32)
+        )
+        out.append(WindowRealignment(
+            haps, best, scores, np.full(n_r, -1, np.int32), ["*"] * n_r
+        ))
+    return out
+
+
 def _cigar_ops(cig: str) -> List[Tuple[str, int]]:
     out, n = [], 0
     for ch in cig:

@@ -434,11 +434,20 @@ def spmd_report(
     tid_of = np.asarray(list(species_tids) + [0], dtype=np.int64)
     B = kept.shape[0]
 
+    # vectorized grouped LCA over the kept (read, species) rows — no
+    # per-read Python loop (taxdb.lca_grouped shift-doubling fold)
     lcas = np.zeros(B, np.int64)
-    for b in range(B):
-        sps = species[b][kept[b]]
-        tids = [int(tid_of[s]) for s in np.unique(sps) if s >= 0]
-        lcas[b] = taxdb.lca(tids) if tids else 0
+    rows, cols = np.nonzero(kept & (species >= 0))
+    if len(rows):
+        key = rows.astype(np.int64) * (species.max() + 2) + species[
+            rows, cols
+        ]
+        order = np.argsort(key)
+        rs, ss = rows[order], species[rows, cols][order]
+        uniq = np.r_[True, (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1])]
+        rs, ss = rs[uniq], ss[uniq]
+        pres = np.unique(rs)
+        lcas[pres] = taxdb.lca_grouped(tid_of[ss], rs)
 
     # per-end lines: score is the pair-normalized sum (both ends carry
     # it), LCA shared; unaligned pairs are unclassified

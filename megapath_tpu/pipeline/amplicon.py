@@ -420,7 +420,12 @@ class AmpliconPipeline:
             else:
                 windows.append((w0, w1))
 
-        found: Dict[Tuple[str, int, str, str], Variant] = {}
+        # batch ALL windows' (read x haplotype) scoring into one device
+        # call (the GNU-parallel fan-out of runMegaPath-Amplicon.sh:
+        # 122-130, as batch rows instead of processes)
+        from megapath_tpu.amplicon.realign import realign_windows_batched
+
+        jobs, job_meta = [], []
         for w0, w1 in windows:
             window = decode_seq(ref.codes[w0:w1])
             support, spans = self._window_reads(
@@ -429,7 +434,12 @@ class AmpliconPipeline:
             )
             if not support:
                 continue
-            ra = realign_window(window, support, k=21, compute_cigars=False)
+            jobs.append((window, support))
+            job_meta.append((w0, w1, window, spans))
+        ras = realign_windows_batched(jobs, k=21)
+
+        found: Dict[Tuple[str, int, str, str], Variant] = {}
+        for (w0, w1, window, spans), ra in zip(job_meta, ras):
             has_score = (
                 np.asarray(ra.scores).max(axis=1) > 0
                 if len(ra.best_hap)
