@@ -117,9 +117,13 @@ def _align_with_starts(
     wlens = win_lens
 
     if _on_tpu() and C % 128 == 0:
-        from megapath_tpu.ops.dp_pallas import sw_align_full_pallas
+        # transposed layout: candidates ride the 128-lane axis (dense
+        # for any window width) and the per-step read char is one
+        # dynamic sublane load — measured faster than the row-major
+        # kernel whose W=164 window pads to 256 lanes
+        from megapath_tpu.ops.dp_pallas import sw_align_full_pallas_t
 
-        full = sw_align_full_pallas(
+        full = sw_align_full_pallas_t(
             reads, wins, read_lens, wlens, params=params, block_b=128
         )
         return FullAlignOut(

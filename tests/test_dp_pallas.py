@@ -101,3 +101,43 @@ def test_full_kernel_matches_reversed_prefix_path(seed):
     np.testing.assert_array_equal(
         np.asarray(full.start_read)[m], want_start_read[m]
     )
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_transposed_full_kernel_matches(seed):
+    """Transposed layout (candidates on lanes) == original fused
+    kernel == XLA reference, including start cells and tie-breaks."""
+    from megapath_tpu.ops.dp_pallas import (
+        sw_align_full_pallas,
+        sw_align_full_pallas_t,
+    )
+
+    rng = np.random.default_rng(seed)
+    B, R, W = 16, 48, 164
+    reads = np.zeros((B, R), dtype=np.uint8)
+    refs = np.zeros((B, W), dtype=np.uint8)
+    rl = np.zeros(B, np.int32)
+    wl = np.zeros(B, np.int32)
+    for b in range(B):
+        w = int(rng.integers(100, W + 1))
+        ref = rng.integers(0, 4, w).astype(np.uint8)
+        r = int(rng.integers(30, min(R, w) + 1))
+        p = int(rng.integers(0, w - r + 1))
+        read = ref[p : p + r].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            q = int(rng.integers(0, r))
+            read[q] = (read[q] + 1 + rng.integers(0, 3)) % 4
+        reads[b, :r] = read
+        refs[b, :w] = ref
+        rl[b], wl[b] = r, w
+
+    want = sw_align_full_pallas(
+        reads, refs, rl, wl, block_b=16, interpret=True
+    )
+    got = sw_align_full_pallas_t(
+        reads, refs, rl, wl, block_b=16, interpret=True
+    )
+    for f in ("score", "end_ref", "end_read", "start_ref", "start_read"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)), f
+        )

@@ -91,6 +91,47 @@ def main() -> None:
     print(f"best pass {min(tot):.3f}s "
           f"({2 * bench.N_PAIRS / min(tot):.0f} reads/s)")
 
+    if "--spmd" in sys.argv:
+        # ONE-program path on a 1x1 mesh: the whole align pass as a
+        # single device call (sync count 1); caps tuned to the bench
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from megapath_tpu.parallel.spmd_full import (
+            SpmdCaps,
+            build_spmd_full_engine,
+            pad_ref_codes,
+            pad_seq_offsets,
+            spmd_hits_to_batch,
+            stack_fms_exact,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    axis_names=("data", "shard"))
+        sfm, meta = stack_fms_exact([fm])
+        step = build_spmd_full_engine(
+            mesh, meta, bench.READ_LEN,
+            caps=SpmdCaps(pos_factor=6, cand_factor=3, se_factor=1),
+        )
+        rc = pad_ref_codes([ref.codes])
+        so = pad_seq_offsets([ref.offsets])
+        print("[profile] spmd_full warmup (compile)", flush=True)
+        t = time.time()
+        out = step(sfm, rc, so, reads1, reads2, lens1, lens2)
+        jax.block_until_ready(out)
+        print(f"[profile] spmd_full warmup {time.time()-t:.1f}s")
+        for i in range(3):
+            t = time.time()
+            out = step(sfm, rc, so, reads1, reads2, lens1, lens2)
+            jax.block_until_ready(out)
+            dt = time.time() - t
+            print(f"[profile] spmd_full pass {i}: {dt:.3f}s "
+                  f"({2*bench.N_PAIRS/dt:.0f} reads/s) "
+                  f"overflow={int(np.asarray(out.overflow).max())}")
+        hits2 = spmd_hits_to_batch(out, bench.N_PAIRS)
+        print(f"[profile] spmd_full hits={len(hits2[0].read)}")
+
 
 if __name__ == "__main__":
     main()
