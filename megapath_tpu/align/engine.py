@@ -26,6 +26,10 @@ from megapath_tpu.index.fm import FMIndex
 from megapath_tpu.index.pack import COMPLEMENT, PackedReference
 from megapath_tpu.ops.dp import DPParams, sw_align
 
+# sentinel: the staged seeding walk's compaction caps overflowed and
+# the caller must rerun the plain full-width walk
+OVERFLOW = object()
+
 OFF_TEXT_CODE = 4  # never equals a read code -> forced mismatch
 
 
@@ -214,6 +218,13 @@ class AlignEngine:
         self._ref_dev = None
         self._device_seeding = device_seeding
         self.seed_segment_threshold: Optional[int] = None  # see _device_seeds
+        # on-device straggler compaction for the seeding walk (see
+        # device_mmp_seed_staged); purely device-side, so it is safe
+        # (and a ~1.5x walk win) even on the tunneled TPU. Applied when
+        # the walker count reaches seed_compact_min (below that the
+        # extra argsort/gather levels cost more than they save).
+        self.seed_compact: bool = True
+        self.seed_compact_min: int = 16384
         # pipelined-batch chunk size (pairs): batches >= 2 chunks run
         # seed-walk(i+1) before decode(i) so host work hides behind the
         # device. DISABLED by default (0): on the axon-tunneled v5e the
@@ -329,18 +340,52 @@ class AlignEngine:
         else:
             reads_d = jnp.asarray(reads)
             lens_d = jnp.asarray(lens.astype(np.int32))
-        walkers, wlens = build_walkers(reads_d, lens_d)
-        out, st = device_mmp_seed(
-            self.dfm, walkers, wlens, mmp, max_seeds=max_seeds,
-            max_steps=seg1, finalize=not segmented,
-        )
         import jax
 
         if not segmented:
-            handle = self._seed_compact_dispatch(out, N, Nb)
-            seeds = self._seed_compact_finish(handle)
-            if seeds is not None:
+            # ONE fused dispatch for the whole leg (build walkers +
+            # staged walk + flatten) and one device_get: on the
+            # tunneled TPU every extra dispatch/sync is ~10-20 ms.
+            # The staged walk (on-device straggler compaction) cuts
+            # the lockstep width to 1/2 then 1/6 once most walkers
+            # retire; its overflow flag (caps >=2x above measured
+            # straggler fractions) falls back to the plain walk.
+            from megapath_tpu.align.seeding_jax import (
+                device_seed_pipeline,
+            )
+
+            staged = (
+                self.seed_compact and 2 * Nb >= self.seed_compact_min
+            )
+            plan = self._seed_seg_plan(2 * Nb, L) if staged else ()
+            cap = 2 * Nb  # measured ~1.4 seeds per read end on bench
+            fl = device_seed_pipeline(
+                self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
+                plan, cap,
+            )
+            seeds = self._seed_pipeline_finish(fl, cap, N, Nb)
+            if seeds is OVERFLOW and staged:
+                # staged caps exceeded (loud rare fallback): rerun the
+                # plain full-width walk through the same pipeline
+                fl = device_seed_pipeline(
+                    self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
+                    (), cap,
+                )
+                seeds = self._seed_pipeline_finish(fl, cap, N, Nb)
+            if seeds is not None and seeds is not OVERFLOW:
                 return seeds
+            # flatten cap overflow (seeds complete, > cap rows): raw
+            # 2-D pull of the full slot buffers
+            out, st = device_mmp_seed(
+                self.dfm, *build_walkers(reads_d, lens_d), mmp,
+                max_seeds=max_seeds, max_steps=limit, finalize=True,
+            )
+        else:
+            walkers, wlens = build_walkers(reads_d, lens_d)
+            out, st = device_mmp_seed(
+                self.dfm, walkers, wlens, mmp, max_seeds=max_seeds,
+                max_steps=seg1, finalize=False,
+            )
 
         # one batched device_get instead of five sequential pulls —
         # each host sync pays a full tunnel round trip
@@ -448,27 +493,88 @@ class AlignEngine:
         )
 
     @staticmethod
-    def _seed_compact_dispatch(out, N: int, Nb: int):
+    def _seed_seg_plan(Wn: int, L: int):
+        """Static compaction schedule for ``device_mmp_seed_staged``:
+        (steps, cap) per level. Measured active-walker curve on the
+        bench workload (tools/nvalid probe, L=100): 1.6L steps -> 33%,
+        1.76L -> 23%, 2.24L -> 6%, 2.88L -> 0.3% — productive walkers
+        net ~1.5-2 lockstep steps/char (emit rollbacks), junk walkers
+        die at the progress-kill bound. Caps at 1/2 after 1.8L and 1/6
+        after +0.5L leave >=2x margin before the overflow fallback."""
+
+        def r512(x):
+            return max(512, ((x + 511) // 512) * 512)
+
+        return (
+            (int(1.8 * L), r512(Wn // 2)),
+            (max(32, L // 2), r512(Wn // 6)),
+        )
+
+    @staticmethod
+    def _seed_pipeline_finish(fl, cap: int, N: int, Nb: int):
+        """Pull + decode the fused seed-pipeline output. OVERFLOW when
+        the staged walk's compaction caps were exceeded (seeds
+        incomplete — caller reruns the plain walk); None when the
+        flatten cap overflowed (seeds complete — caller falls back to
+        the raw 2-D pull)."""
+        import jax
+
+        from megapath_tpu.align.seeding import Seeds
+
+        pulled = jax.device_get(fl)
+        if bool(pulled[-1]):
+            return OVERFLOW
+        n_valid = int(pulled[0])
+        if n_valid > cap:
+            return None
+        ws_f, off_f, lng_f, slo_f, scnt_f = (
+            a[:n_valid] for a in pulled[1:-1]
+        )
+        keep = (ws_f < N) | ((ws_f >= Nb) & (ws_f < Nb + N))
+        ws_f, off_f, lng_f, slo_f, scnt_f = (
+            a[keep] for a in (ws_f, off_f, lng_f, slo_f, scnt_f)
+        )
+        ws_f = np.where(ws_f >= Nb, ws_f - (Nb - N), ws_f)
+        return Seeds(
+            walker=ws_f.astype(np.int32),
+            offset=off_f.astype(np.int32),
+            length=lng_f.astype(np.int32),
+            sa_lo=slo_f.astype(np.int64),
+            sa_count=scnt_f.astype(np.int32),
+        )
+
+    @staticmethod
+    def _seed_compact_dispatch(out, N: int, Nb: int, oflow=None):
         """Dispatch the on-device seed compaction (async): the (W, S)
         slot buffers shrink to one row per valid seed before the pull —
         the tunnel d2h at ~40 MB/s made the full-buffer pull ~100 ms.
         Returns a handle for ``_seed_compact_finish``."""
         from megapath_tpu.align.seeding_jax import flatten_seeds
 
-        # ~0.8 stored seeds/walker on the bench batch; overflow falls
-        # back to the full pull (handled by the caller on None)
-        cap = Nb
-        return (flatten_seeds(out, cap), cap, N, Nb)
+        # measured ~1.4 stored seeds per read end on the bench batch —
+        # cap 2*Nb keeps the pull ~8x smaller than the full slot
+        # buffers with margin; overflow falls back to the full pull
+        # (handled by the caller on None)
+        cap = 2 * Nb
+        return (flatten_seeds(out, cap), cap, N, Nb, oflow)
 
     @staticmethod
     def _seed_compact_finish(handle):
-        """Pull + decode the compacted seeds; None on cap overflow."""
+        """Pull + decode the compacted seeds; OVERFLOW when the staged
+        walk's compaction caps were exceeded (caller must rerun the
+        plain walk), None on flatten-cap overflow (caller falls back
+        to the raw 2-D pull of the same, complete, seed buffers)."""
         import jax
 
         from megapath_tpu.align.seeding import Seeds
 
-        fl_dev, cap, N, Nb = handle
-        fl = jax.device_get(fl_dev)
+        fl_dev, cap, N, Nb, oflow = handle
+        if oflow is not None:
+            fl, oflow_v = jax.device_get((fl_dev, oflow))
+            if bool(oflow_v):
+                return OVERFLOW
+        else:
+            fl = jax.device_get(fl_dev)
         n_valid = int(fl[0])
         if n_valid > cap:
             return None

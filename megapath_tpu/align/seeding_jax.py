@@ -623,6 +623,148 @@ def device_mmp_seed(
     return seeds, out_state
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "max_seeds", "max_steps", "seg_plan"),
+)
+def device_mmp_seed_staged(
+    dfm: DeviceFM,
+    walkers: jnp.ndarray,  # uint8 [W, L]
+    lens: jnp.ndarray,  # int32 [W]
+    params: MmpParams,
+    max_seeds: int,
+    max_steps: int,
+    seg_plan: Tuple[Tuple[int, int], ...],
+):
+    """Multi-segment walk with ON-DEVICE straggler compaction.
+
+    The lockstep walk's per-step cost is linear in walker count
+    (measured ~11 ns/walker/step on v5e), but most walkers retire
+    within ~1.3L steps while junk/repeat stragglers grind on to the
+    progress-kill bound — so after each ``seg_plan`` segment the
+    still-active rows are compacted (stable argsort, active rows
+    first) into a statically smaller batch and the walk resumes at a
+    fraction of the width. Everything happens inside one jit program:
+    no host syncs, no extra dispatches — the tunnel-latency trap that
+    sank the host-orchestrated segmentation (CLAUDE.md) doesn't apply.
+
+    ``seg_plan`` is a tuple of (steps, cap) pairs: run ``steps`` more
+    lockstep steps, then keep only ``cap`` rows. If more than ``cap``
+    rows are still active the result is INCOMPLETE: the ``overflow``
+    flag (second return) is set and the caller must rerun the plain
+    walk — caps are sized ~2.5-4x above the measured straggler
+    fractions so this is a loud rare fallback, not a silent drop.
+
+    Returns (DeviceSeeds full width, overflow bool scalar).
+    """
+    Wn = walkers.shape[0]
+
+    def take_state(st: SeedWalkState, idx):
+        return SeedWalkState(*[jnp.take(f, idx, axis=0) for f in st])
+
+    def merge_rows(a_proc, a_unproc_src, order, inv, cap):
+        """Full-size result: processed rows (first ``cap`` of
+        ``order``) from a_proc, the rest from a_unproc_src — one
+        concat + inverse-permutation gather (gathers are fast on TPU;
+        a row scatter would serialize)."""
+        rest = jnp.take(a_unproc_src, order[cap:], axis=0)
+        return jnp.take(jnp.concatenate([a_proc, rest], axis=0), inv, axis=0)
+
+    overflow = jnp.zeros((), bool)
+    spent = 0
+    # level 0: full width
+    steps0 = seg_plan[0][0]
+    seeds_full, st = device_mmp_seed(
+        dfm, walkers, lens, params, max_seeds,
+        max_steps=steps0, finalize=False,
+    )
+    spent += steps0
+    # each later level walks a compacted subset; merges apply innermost
+    # first, so collect (order, inv, cap, seeds_before) per level
+    merges = []
+    cur_w, cur_l, cur_seeds = walkers, lens, seeds_full
+    for li in range(1, len(seg_plan) + 1):
+        cap = seg_plan[li - 1][1]
+        steps = (
+            seg_plan[li][0] if li < len(seg_plan) else max_steps - spent
+        )
+        last = li == len(seg_plan)
+        n_act = st.active.sum()
+        overflow = overflow | (n_act > cap)
+        # stable partition (active rows first, original order kept):
+        # one key-value sort for the forward permutation; the INVERSE
+        # permutation falls out of two cumsums (rank among actives /
+        # inactives) — cheaper than a second 80k sort per level
+        wn_cur = st.active.shape[0]
+        key = jnp.where(st.active, 0, 1).astype(jnp.int32)
+        _, order = jax.lax.sort(
+            (key, jnp.arange(wn_cur, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        ract = jnp.cumsum(st.active.astype(jnp.int32)) - 1
+        rinact = n_act + jnp.cumsum(1 - st.active.astype(jnp.int32)) - 1
+        inv = jnp.where(st.active, ract, rinact).astype(jnp.int32)
+        idx = order[:cap]
+        sub_w = jnp.take(cur_w, idx, axis=0)
+        sub_l = jnp.take(cur_l, idx)
+        sub_st = take_state(st, idx)
+        sub_seeds, st = device_mmp_seed(
+            dfm, sub_w, sub_l, params, max_seeds,
+            max_steps=steps, state=sub_st, finalize=last,
+        )
+        spent += steps
+        merges.append((order, inv, cap, cur_seeds))
+        cur_w, cur_l, cur_seeds = sub_w, sub_l, sub_seeds
+    # unwind: merge the innermost results outward to full width
+    out = cur_seeds
+    for order, inv, cap, before in reversed(merges):
+        out = DeviceSeeds(
+            offset=merge_rows(out.offset, before.offset, order, inv, cap),
+            length=merge_rows(out.length, before.length, order, inv, cap),
+            sa_lo=merge_rows(out.sa_lo, before.sa_lo, order, inv, cap),
+            sa_count=merge_rows(
+                out.sa_count, before.sa_count, order, inv, cap
+            ),
+            n_seeds=merge_rows(out.n_seeds, before.n_seeds, order, inv, cap),
+        )
+    return out, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "max_seeds", "max_steps", "seg_plan", "cap"),
+)
+def device_seed_pipeline(
+    dfm: DeviceFM,
+    reads: jnp.ndarray,  # uint8 [N, L] forward reads (both ends stacked)
+    lens: jnp.ndarray,  # int32 [N]
+    params: MmpParams,
+    max_seeds: int,
+    max_steps: int,
+    seg_plan: Tuple[Tuple[int, int], ...],
+    cap: int,
+):
+    """ONE dispatch for the whole seeding leg: build [reads; revcomp]
+    walkers, run the staged (or plain, seg_plan=()) walk, and compact
+    the seed slots for the host pull — on the tunneled TPU each extra
+    dispatch/sync costs ~10-20 ms, so the engine calls this instead of
+    the build/walk/flatten sequence.
+
+    Returns (n_valid, walker, offset, length, sa_lo, sa_count,
+    overflow)."""
+    walkers, wlens = build_walkers(reads, lens)
+    if seg_plan:
+        seeds, overflow = device_mmp_seed_staged(
+            dfm, walkers, wlens, params, max_seeds, max_steps, seg_plan
+        )
+    else:
+        seeds, _ = device_mmp_seed(
+            dfm, walkers, wlens, params, max_seeds, max_steps=max_steps
+        )
+        overflow = jnp.zeros((), bool)
+    return flatten_seeds(seeds, cap) + (overflow,)
+
+
 @functools.partial(jax.jit, static_argnames=("sa_interval",))
 def device_locate(dfm: DeviceFM, rowsv: jnp.ndarray, sa_interval: int) -> jnp.ndarray:
     """Batched LF-walk locate of full rows (int32)."""

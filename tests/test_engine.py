@@ -321,3 +321,47 @@ def test_pipelined_batch_path_matches_plain(world):
 
     for a, b in zip(canon(want), canon(got)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_staged_seed_compact_matches_plain(world):
+    """The on-device staged seeding walk (straggler compaction) must
+    produce exactly the plain walk's hits through the engine."""
+    import numpy as np
+
+    from megapath_tpu.align.engine import BatchHits
+
+    ref, fm, params, seqs = world
+    engine = AlignEngine(ref, fm, params, device_seeding=True)
+    rng = np.random.default_rng(29)
+    n, L = 96, 80
+    keys = list(seqs)
+    reads1 = np.zeros((n, L), np.uint8)
+    reads2 = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        c = seqs[keys[i % len(keys)]]
+        if i % 5 == 4:  # junk pair (stragglers)
+            reads1[i] = rng.integers(0, 4, L)
+            reads2[i] = rng.integers(0, 4, L)
+            continue
+        p = int(rng.integers(0, len(c) - 300))
+        reads1[i] = c[p : p + L]
+        seg = c[p + 300 - L : p + 300]
+        reads2[i] = np.array([3, 2, 1, 0], np.uint8)[seg[::-1]]
+    lens = np.full(n, L, np.int32)
+
+    engine.seed_compact = False
+    want = engine.align_pairs(reads1, lens, reads2, lens)
+    engine.seed_compact = True
+    engine.seed_compact_min = 0  # force the staged path at this size
+    got = engine.align_pairs(reads1, lens, reads2, lens)
+
+    def canon(h: BatchHits):
+        order = np.lexsort((h.strand, h.start, h.seq, h.end, h.read))
+        return [
+            np.asarray(getattr(h, f))[order]
+            for f in ("read", "end", "seq", "score", "raw_score",
+                      "start", "stop", "strand", "paired")
+        ]
+
+    for a, b in zip(canon(want), canon(got)):
+        np.testing.assert_array_equal(a, b)

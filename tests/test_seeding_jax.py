@@ -165,3 +165,49 @@ def test_segmented_walk_matches_single_run(world):
     np.testing.assert_array_equal(off, np.asarray(full.offset))
     np.testing.assert_array_equal(lng, np.asarray(full.length))
     np.testing.assert_array_equal(slo, np.asarray(full.sa_lo))
+
+
+def test_staged_walk_matches_single_run(world):
+    """On-device multi-segment compaction == one full-limit run, and
+    the overflow flag fires when caps are too small."""
+    from megapath_tpu.align.seeding_jax import device_mmp_seed_staged
+
+    codes, fm, dfm = world
+    rng = np.random.default_rng(23)
+    n, L = 96, 64
+    walkers = np.zeros((n, L), np.uint8)
+    wlens = np.zeros(n, np.int32)
+    for i in range(n):
+        ln = int(rng.integers(30, L + 1))
+        if i % 3 == 0:  # junk walkers: stragglers
+            walkers[i, :ln] = rng.integers(0, 4, ln)
+        else:
+            p = int(rng.integers(0, len(codes) - ln))
+            walkers[i, :ln] = codes[p : p + ln]
+            for _ in range(int(rng.integers(0, 3))):
+                q = int(rng.integers(0, ln))
+                walkers[i, q] = (walkers[i, q] + 1 + rng.integers(0, 3)) % 4
+        wlens[i] = ln
+
+    limit = 3 * L + 64
+    full, _ = device_mmp_seed(
+        dfm, walkers, wlens, PARAMS, max_seeds=8, max_steps=limit
+    )
+    out, oflow = device_mmp_seed_staged(
+        dfm, walkers, wlens, PARAMS, max_seeds=8, max_steps=limit,
+        seg_plan=((80, 56), (48, 16)),
+    )
+    assert not bool(np.asarray(oflow))
+    for name in ("offset", "length", "sa_lo", "sa_count", "n_seeds"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(full, name)),
+            err_msg=name,
+        )
+
+    # cap smaller than the straggler count -> loud overflow
+    _, oflow2 = device_mmp_seed_staged(
+        dfm, walkers, wlens, PARAMS, max_seeds=8, max_steps=limit,
+        seg_plan=((8, 4),),
+    )
+    assert bool(np.asarray(oflow2))
