@@ -200,6 +200,69 @@ def deep_dp_fused(
     return left, right
 
 
+def _take_oriented(
+    reads_all: jnp.ndarray,  # uint8 [Nr, L] forward codes
+    lens_all: jnp.ndarray,  # int32 [Nr]
+    idx: jnp.ndarray,  # int32 [C]
+    flip: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather read rows (revcomp'd when ``flip``) on device — the
+    candidate fan-out stays in HBM instead of being gathered on the
+    host and re-uploaded (~4 MB h2d per deep-DP batch)."""
+    rows = jnp.take(reads_all, idx, axis=0).astype(jnp.int32)
+    lens = jnp.take(lens_all, idx).astype(jnp.int32)
+    if not flip:
+        return rows.astype(jnp.uint8), lens
+    L = reads_all.shape[1]
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lens[:, None] - 1 - j
+    rc = jnp.where(
+        src >= 0,
+        3 - jnp.take_along_axis(rows, jnp.clip(src, 0, L - 1), axis=1),
+        0,
+    )
+    return rc.astype(jnp.uint8), lens
+
+
+@functools.partial(jax.jit, static_argnames=("width", "params"))
+def deep_dp_fused_idx(
+    ref_codes: jnp.ndarray,
+    reads_all: jnp.ndarray,  # uint8 [Nr, L] all reads, forward codes
+    lens_all: jnp.ndarray,  # int32 [Nr]
+    left_idx: jnp.ndarray,  # int32 [C] rows of the left (+) legs
+    left_starts: jnp.ndarray,
+    left_win_lens: jnp.ndarray,
+    right_idx: jnp.ndarray,  # int32 [C] rows of the right (-) legs
+    right_starts: jnp.ndarray,
+    right_full_wl: jnp.ndarray,
+    width: int,
+    insert_high: int,
+    params: DPParams = DPParams(),
+) -> Tuple[FullAlignOut, FullAlignOut]:
+    """deep_dp_fused with the candidate read gather + right-leg
+    revcomp done ON DEVICE from the batch's resident read matrix (the
+    same upload the seeding walk used): the host sends only the int32
+    candidate index arrays."""
+    left_reads, left_lens = _take_oriented(
+        reads_all, lens_all, left_idx, flip=False
+    )
+    right_reads, right_lens = _take_oriented(
+        reads_all, lens_all, right_idx, flip=True
+    )
+    left = _align_with_starts(
+        ref_codes, left_reads, left_lens, left_starts,
+        left_win_lens, width, params,
+    )
+    hit_left = left_starts + left.start_ref
+    bound = hit_left + jnp.int32(insert_high) - right_starts
+    wl_r = jnp.clip(jnp.minimum(right_full_wl, bound), 0, width)
+    right = _align_with_starts(
+        ref_codes, right_reads, right_lens, right_starts,
+        wl_r.astype(jnp.int32), width, params,
+    )
+    return left, right
+
+
 @functools.partial(jax.jit, static_argnames=("width", "params"))
 def pair_align_step(
     ref_codes: jnp.ndarray,

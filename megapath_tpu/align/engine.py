@@ -225,6 +225,9 @@ class AlignEngine:
         # extra argsort/gather levels cost more than they save).
         self.seed_compact: bool = True
         self.seed_compact_min: int = 16384
+        # (id, reads_dev, lens_dev, N): the seeding walk's read upload,
+        # reused by deep-DP's on-device candidate gather
+        self._batch_dev = None
         # pipelined-batch chunk size (pairs): batches >= 2 chunks run
         # seed-walk(i+1) before decode(i) so host work hides behind the
         # device. DISABLED by default (0): on the axon-tunneled v5e the
@@ -260,6 +263,7 @@ class AlignEngine:
         commit() re-stages them."""
         self.dfm = None
         self._ref_dev = None
+        self._batch_dev = None
 
     @property
     def committed(self) -> bool:
@@ -274,17 +278,24 @@ class AlignEngine:
         alignment.cpp:91-137 / IniParam.cpp seedingProperties)."""
         mmp = mmp or self.params.mmp
         if self.dfm is not None:
-            seeds = self._device_seeds(reads, lens, mmp)
+            seeds, pre_pos = self._device_seeds_pos(reads, lens, mmp)
             locate = self._device_locate
         else:
             walkers, wlens = make_walkers_fast(reads, lens)
             seeds = mmp_seed(walkers, wlens, self.fm, mmp)
-            locate = None
+            locate, pre_pos = None, None
         return decode_seeds(
-            seeds, self.fm, lens, len(reads), mmp, locate_fn=locate
+            seeds, self.fm, lens, len(reads), mmp, locate_fn=locate,
+            pre_pos=pre_pos,
         )
 
     def _device_seeds(self, reads: np.ndarray, lens: np.ndarray, mmp=None):
+        seeds, _ = self._device_seeds_pos(reads, lens, mmp)
+        return seeds
+
+    def _device_seeds_pos(
+        self, reads: np.ndarray, lens: np.ndarray, mmp=None
+    ):
         """Device MMP over [reads; revcomp] (walkers built on device).
 
         Runs in two segments with straggler compaction: most walkers
@@ -303,6 +314,7 @@ class AlignEngine:
         )
 
         N, L = reads.shape
+        orig_reads_id = id(reads)  # pre-padding identity (deep-DP key)
         # finer padding than the DP buckets: the seeding loop's cost is
         # proportional to walker count, so a 4096-grain pad beats the
         # power-of-two bucket (40k -> 41k instead of 65k rows)
@@ -340,6 +352,12 @@ class AlignEngine:
         else:
             reads_d = jnp.asarray(reads)
             lens_d = jnp.asarray(lens.astype(np.int32))
+        # stash the upload for the deep-DP stage: its candidate gather
+        # can run on device against this same resident matrix instead
+        # of re-uploading host-gathered rows (keyed by the ORIGINAL
+        # array identity — later seeding rounds stash their subsets
+        # under their own ids and deep-DP just misses the cache)
+        self._batch_dev = (orig_reads_id, reads_d, lens_d, N)
         import jax
 
         if not segmented:
@@ -351,7 +369,7 @@ class AlignEngine:
             # retire; its overflow flag (caps >=2x above measured
             # straggler fractions) falls back to the plain walk.
             from megapath_tpu.align.seeding_jax import (
-                device_seed_pipeline,
+                device_seed_pipeline_loc,
             )
 
             staged = (
@@ -359,21 +377,22 @@ class AlignEngine:
             )
             plan = self._seed_seg_plan(2 * Nb, L) if staged else ()
             cap = 2 * Nb  # measured ~1.4 seeds per read end on bench
-            fl = device_seed_pipeline(
+            lcap = 4 * Nb  # SA positions per batch (~2.8x seeds)
+            fl = device_seed_pipeline_loc(
                 self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
-                plan, cap,
+                plan, cap, lcap,
             )
-            seeds = self._seed_pipeline_finish(fl, cap, N, Nb)
-            if seeds is OVERFLOW and staged:
+            res = self._seed_pipeline_finish(fl, cap, N, Nb)
+            if res is OVERFLOW and staged:
                 # staged caps exceeded (loud rare fallback): rerun the
                 # plain full-width walk through the same pipeline
-                fl = device_seed_pipeline(
+                fl = device_seed_pipeline_loc(
                     self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
-                    (), cap,
+                    (), cap, lcap,
                 )
-                seeds = self._seed_pipeline_finish(fl, cap, N, Nb)
-            if seeds is not None and seeds is not OVERFLOW:
-                return seeds
+                res = self._seed_pipeline_finish(fl, cap, N, Nb)
+            if res is not None and res is not OVERFLOW:
+                return res
             # flatten cap overflow (seeds complete, > cap rows): raw
             # 2-D pull of the full slot buffers
             out, st = device_mmp_seed(
@@ -431,7 +450,7 @@ class AlignEngine:
             length=lng[ws, js],
             sa_lo=slo[ws, js].astype(np.int64),
             sa_count=scnt[ws, js],
-        )
+        ), None
 
     def _device_align(
         self,
@@ -512,36 +531,50 @@ class AlignEngine:
 
     @staticmethod
     def _seed_pipeline_finish(fl, cap: int, N: int, Nb: int):
-        """Pull + decode the fused seed-pipeline output. OVERFLOW when
-        the staged walk's compaction caps were exceeded (seeds
-        incomplete — caller reruns the plain walk); None when the
-        flatten cap overflowed (seeds complete — caller falls back to
-        the raw 2-D pull)."""
+        """Pull + decode the fused seed-pipeline(+locate) output.
+        OVERFLOW when the staged walk's compaction caps were exceeded
+        (seeds incomplete — caller reruns the plain walk); None when
+        the flatten cap overflowed (seeds complete — caller falls back
+        to the raw 2-D pull). Otherwise (Seeds, pre_pos) where
+        ``pre_pos`` holds the located text position per expanded SA
+        row (row order matches decode_seeds' expansion), or None when
+        the locate cap overflowed."""
         import jax
 
         from megapath_tpu.align.seeding import Seeds
 
         pulled = jax.device_get(fl)
-        if bool(pulled[-1]):
+        (n_valid, ws_f, off_f, lng_f, slo_f, scnt_f, pos, tot,
+         walk_oflow, loc_oflow) = pulled
+        if bool(walk_oflow):
             return OVERFLOW
-        n_valid = int(pulled[0])
+        n_valid = int(n_valid)
         if n_valid > cap:
             return None
         ws_f, off_f, lng_f, slo_f, scnt_f = (
-            a[:n_valid] for a in pulled[1:-1]
+            a[:n_valid] for a in (ws_f, off_f, lng_f, slo_f, scnt_f)
         )
+        pre_pos = None
+        if not bool(loc_oflow):
+            # positions are per expanded SA row of the FLAT order;
+            # dropping pad-walker seeds must drop their rows too
+            cnt = scnt_f.astype(np.int64)
+            keep = (ws_f < N) | ((ws_f >= Nb) & (ws_f < Nb + N))
+            row_keep = np.repeat(keep, cnt)
+            pre_pos = pos[: int(tot)][row_keep].astype(np.int64)
         keep = (ws_f < N) | ((ws_f >= Nb) & (ws_f < Nb + N))
         ws_f, off_f, lng_f, slo_f, scnt_f = (
             a[keep] for a in (ws_f, off_f, lng_f, slo_f, scnt_f)
         )
         ws_f = np.where(ws_f >= Nb, ws_f - (Nb - N), ws_f)
-        return Seeds(
+        seeds = Seeds(
             walker=ws_f.astype(np.int32),
             offset=off_f.astype(np.int32),
             length=lng_f.astype(np.int32),
             sa_lo=slo_f.astype(np.int64),
             sa_count=scnt_f.astype(np.int32),
         )
+        return seeds, pre_pos
 
     @staticmethod
     def _seed_compact_dispatch(out, N: int, Nb: int, oflow=None):
@@ -664,6 +697,48 @@ class AlignEngine:
             pad2(l_reads), pad1(l_lens), pad1(l_starts),
             np.clip(pad1(l_wl), 0, width),
             pad2(r_reads), pad1(r_lens), pad1(r_starts),
+            np.clip(pad1(r_full_wl), 0, width),
+            width, int(p.insert_high), params=dp,
+        )
+        s1, st_l, e_l, s2, st_r, e_r = jax.device_get(
+            (left.score, left.start_ref, left.end_ref,
+             right.score, right.start_ref, right.end_ref)
+        )
+        return (
+            s1[:n].astype(np.int64), st_l[:n].astype(np.int64),
+            e_l[:n].astype(np.int64), s2[:n].astype(np.int64),
+            st_r[:n].astype(np.int64), e_r[:n].astype(np.int64),
+        )
+
+    def _deep_dp_fused_idx_call(
+        self, reads_dev, lens_dev, l_idx, l_starts, l_wl,
+        r_idx, r_starts, r_full_wl, width,
+    ):
+        """Bucket-pad the int32 index/start arrays + run
+        deep_dp_fused_idx + one batched pull."""
+        from megapath_tpu.align.device import deep_dp_fused_idx
+
+        import jax
+
+        if self._ref_dev is None:
+            import jax.numpy as jnp
+
+            self._ref_dev = jnp.asarray(self.ref.codes)
+        n = l_idx.shape[0]
+        nb = _bucket(n)
+
+        def pad1(a, dt=np.int32):
+            a = a.astype(dt)
+            if nb == n:
+                return a
+            return np.concatenate([a, np.zeros(nb - n, dt)])
+
+        p = self.params
+        dp = DPParams(p.match, p.mismatch, p.gap_open, p.gap_extend)
+        left, right = deep_dp_fused_idx(
+            self._ref_dev, reads_dev, lens_dev,
+            pad1(l_idx), pad1(l_starts), np.clip(pad1(l_wl), 0, width),
+            pad1(r_idx), pad1(r_starts),
             np.clip(pad1(r_full_wl), 0, width),
             width, int(p.insert_high), params=dp,
         )
@@ -877,12 +952,23 @@ class AlignEngine:
         # (:2985-2988) is dead: the CPU kernel never reads it.)
         starts_l = cands.left_pos - margin_l
         starts_r_all = cands.right_pos - margin_r
-        s1, st_l, e_l, s2a, st_ra, e_ra = self._deep_dp_fused_call(
-            allr[left_read_idx], lL, starts_l,
-            (lL + 2 * margin_l),
-            _revcomp_rows(allr[right_read_idx], lR), lR, starts_r_all,
-            (lR + 2 * margin_r), Wwin,
-        )
+        bd = self._batch_dev
+        if bd is not None and bd[0] == id(allr) and bd[3] >= 2 * n:
+            # candidate gather + right-leg revcomp ON DEVICE against
+            # the batch matrix the seeding walk already uploaded — the
+            # host ships only int32 index arrays (deep_dp_fused_idx)
+            s1, st_l, e_l, s2a, st_ra, e_ra = self._deep_dp_fused_idx_call(
+                bd[1], bd[2], left_read_idx, starts_l,
+                (lL + 2 * margin_l), right_read_idx, starts_r_all,
+                (lR + 2 * margin_r), Wwin,
+            )
+        else:
+            s1, st_l, e_l, s2a, st_ra, e_ra = self._deep_dp_fused_call(
+                allr[left_read_idx], lL, starts_l,
+                (lL + 2 * margin_l),
+                _revcomp_rows(allr[right_read_idx], lR), lR, starts_r_all,
+                (lR + 2 * margin_r), Wwin,
+            )
         thr_l = np.maximum((params.cutoff_ratio * lL).astype(np.int64),
                            params.cutoff_lower_bound)
         kidx0 = np.flatnonzero(s1 >= thr_l)

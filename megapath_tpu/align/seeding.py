@@ -264,6 +264,7 @@ def decode_seeds(
     n_reads: int,
     params: MmpParams,
     locate_fn=None,
+    pre_pos: np.ndarray | None = None,
 ) -> SeedPositions:
     """SA intervals -> clustered/filtered candidate positions.
 
@@ -285,8 +286,17 @@ def decode_seeds(
     tot = int(cnt.sum())
     seed_idx = np.repeat(np.arange(len(seeds)), cnt)
     within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-    rows = seeds.sa_lo[seed_idx] + within
-    text_pos = locate_fn(rows) if locate_fn is not None else fm.locate(rows)
+    if pre_pos is not None:
+        # positions already located on device in the same program as
+        # the seed walk (device_seed_pipeline_loc), one row per
+        # expanded SA position in this exact flat order
+        assert len(pre_pos) == tot, (len(pre_pos), tot)
+        text_pos = pre_pos
+    else:
+        rows = seeds.sa_lo[seed_idx] + within
+        text_pos = (
+            locate_fn(rows) if locate_fn is not None else fm.locate(rows)
+        )
 
     walker = seeds.walker[seed_idx]
     read = walker % n_reads

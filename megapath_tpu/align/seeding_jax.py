@@ -765,6 +765,55 @@ def device_seed_pipeline(
     return flatten_seeds(seeds, cap) + (overflow,)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "max_seeds", "max_steps", "seg_plan", "cap", "lcap",
+    ),
+)
+def device_seed_pipeline_loc(
+    dfm: DeviceFM,
+    reads: jnp.ndarray,  # uint8 [N, L] forward reads (both ends stacked)
+    lens: jnp.ndarray,  # int32 [N]
+    params: MmpParams,
+    max_seeds: int,
+    max_steps: int,
+    seg_plan: Tuple[Tuple[int, int], ...],
+    cap: int,
+    lcap: int,
+):
+    """device_seed_pipeline + the SA locate of every decoded position
+    in the SAME program: the flat seeds' SA intervals are expanded
+    (searchsorted over the count cumsum, static cap ``lcap``) and
+    LF-walked to text positions, so the engine's decode stage starts
+    from text coordinates without a second dispatch/sync round trip.
+
+    Returns (n_valid, walker, offset, length, sa_lo, sa_count,
+    text_pos[lcap], n_rows, walk_overflow, loc_overflow) —
+    ``loc_overflow`` means ``n_rows > lcap`` (positions incomplete;
+    the seeds themselves are still usable)."""
+    out = device_seed_pipeline(
+        dfm, reads, lens, params, max_seeds, max_steps, seg_plan, cap
+    )
+    n_valid, walker, offset, length, sa_lo, sa_count, overflow = out
+    cnt = sa_count.astype(jnp.int32)
+    cum = jnp.cumsum(cnt)
+    tot = cum[-1]
+    loc_overflow = tot > lcap
+    r = jnp.arange(lcap, dtype=jnp.int32)
+    seed_idx = jnp.searchsorted(cum, r, side="right").astype(jnp.int32)
+    seed_idx = jnp.minimum(seed_idx, cap - 1)
+    within = r - (jnp.take(cum, seed_idx) - jnp.take(cnt, seed_idx))
+    rows = jnp.take(sa_lo, seed_idx) + within
+    valid = r < tot
+    rows = jnp.where(valid, rows, 0)
+    pos = device_locate(dfm, rows, dfm.sa_interval)
+    return (
+        n_valid, walker, offset, length, sa_lo, sa_count, pos, tot,
+        overflow, loc_overflow,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("sa_interval",))
 def device_locate(dfm: DeviceFM, rowsv: jnp.ndarray, sa_interval: int) -> jnp.ndarray:
     """Batched LF-walk locate of full rows (int32)."""

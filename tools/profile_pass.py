@@ -49,10 +49,32 @@ def main() -> None:
 
         setattr(obj, name, timed)
 
+    shapes = []
+
+    def wrap_shapes(obj, name, label):
+        fn = getattr(obj, name)
+
+        def timed(*a, **k):
+            t = time.time()
+            out = fn(*a, **k)
+            times[label] += time.time() - t
+            counts[label] += 1
+            shapes.append(
+                (label,)
+                + tuple(
+                    getattr(x, "shape", None)
+                    for x in a
+                    if hasattr(x, "shape")
+                )
+            )
+            return out
+
+        setattr(obj, name, timed)
+
     wrap(engine, "_device_seeds", "seed_walk+pull")
     wrap(engine, "_device_locate", "locate")
-    wrap(engine, "_deep_dp_fused_call", "deep_dp_device")
-    wrap(engine, "_device_align", "se_rescue_device")
+    wrap_shapes(engine, "_deep_dp_fused_call", "deep_dp_device")
+    wrap_shapes(engine, "_device_align", "se_rescue_device")
     wrap(engine, "_deep_dp", "deep_dp_total")
     wrap(engine, "_single_and_rescue", "se_rescue_total")
     wrap(engine, "seed_positions", "seeding_total")
@@ -90,6 +112,8 @@ def main() -> None:
             print(f"    {k:24s} {times[k]:7.3f}s  x{counts[k]}")
     print(f"best pass {min(tot):.3f}s "
           f"({2 * bench.N_PAIRS / min(tot):.0f} reads/s)")
+    for s in shapes[: len(shapes) // max(1, len(tot))]:
+        print("   shapes:", s)
 
     if "--spmd" in sys.argv:
         # ONE-program path on a 1x1 mesh: the whole align pass as a
