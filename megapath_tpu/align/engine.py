@@ -788,6 +788,10 @@ class AlignEngine:
     def _align_pairs_pipelined(
         self, reads1, lens1, reads2, lens2
     ) -> BatchHits:
+        # stale stash + CPython id() reuse on a dead array could alias
+        # a NEW batch's allr to the previous batch's device matrix —
+        # clear it so only THIS call's seeding upload can match
+        self._batch_dev = None
         n = len(reads1)
         cs = self.chunk_pairs
         bases = list(range(0, n, cs))
@@ -863,6 +867,9 @@ class AlignEngine:
         reads2: np.ndarray,
         lens2: np.ndarray,
     ) -> BatchHits:
+        # see _align_pairs_pipelined: never let a previous batch's
+        # stashed device matrix alias this batch via id() reuse
+        self._batch_dev = None
         params = self.params
         n = len(reads1)
         L = max(reads1.shape[1], reads2.shape[1])

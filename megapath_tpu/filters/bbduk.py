@@ -353,16 +353,63 @@ class BBDukResult:
     removed_short: int = 0
 
 
-def bbduk_pair(
+class LazyRecList:
+    """List façade that materializes its FastqRecords on first
+    access — the array fast path of the pipeline never touches the
+    record objects (alignment runs on the code matrices), so the
+    string slicing/decoding cost is paid only when LSAM/FASTQ output
+    actually needs them."""
+
+    def __init__(self, build, n: int):
+        self._build = build
+        self._n = n
+        self._cache = None
+
+    def _mat(self):
+        if self._cache is None:
+            self._cache = self._build()
+            assert len(self._cache) == self._n
+        return self._cache
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __iter__(self):
+        return iter(self._mat())
+
+
+@dataclass
+class BBDukArrays:
+    """bbduk_pair's decisions as arrays: trimmed/masked code matrices
+    for the kept pairs (pack_reads-equivalent, N->code 2) plus lazy
+    record views for the output layers."""
+
+    codes1: np.ndarray  # uint8 [K, L]
+    lens1: np.ndarray  # int32 [K]
+    codes2: np.ndarray
+    lens2: np.ndarray
+    kept1: "LazyRecList"
+    kept2: "LazyRecList"
+    low_complexity: "LazyRecList"
+    removed: int
+
+
+def _bbduk_analyze(
     recs1: Sequence[FastqRecord],
     recs2: Sequence[FastqRecord],
     adapters: Optional[KmerRef],
-    min_len: int = 50,
-    trimq: int = 10,
-    entropy_cutoff: float = 0.75,
-    max_len: int = 512,
-) -> BBDukResult:
-    """Full preprocessing of a pair batch (both driver BBDuk passes)."""
+    min_len: int,
+    trimq: int,
+    entropy_cutoff: float,
+    max_len: int,
+):
+    """Shared analysis of both driver BBDuk passes: packs, scans, and
+    decides — returns everything downstream of the decisions (masks,
+    trim offsets, keep/low flags, rewritten seq/qual buffers) without
+    materializing output records."""
     n = len(recs1)
     L = max_len
 
@@ -408,11 +455,6 @@ def bbduk_pair(
 
     c1, n1, q1, l1, raw1 = pack(recs1)
     c2, n2, q2, l2, raw2 = pack(recs2)
-
-    out1: List[FastqRecord] = []
-    out2: List[FastqRecord] = []
-    lowc: List[FastqRecord] = []
-    removed = 0
 
     def process(codes, is_n, quals, lens):
         masked = (
@@ -476,21 +518,135 @@ def bbduk_pair(
                 q = qb.tobytes().decode("latin1")
         return FastqRecord(r.name, seq, q, r.comment)
 
-    ok_l = ok.tolist()
-    low_l = low.tolist()
-    s1_l, e1_l = s1.tolist(), e1.tolist()
-    s2_l, e2_l = s2.tolist(), e2.tolist()
-    m1_l, m2_l = any_mq1.tolist(), any_mq2.tolist()
-    for i in range(n):
+    return {
+        "n": n, "L": L, "ok": ok, "low": low,
+        "s1": s1, "e1": e1, "s2": s2, "e2": e2,
+        "m1": m1, "m2": m2, "n1": n1, "n2": n2,
+        "raw1": raw1, "raw2": raw2,
+        "flat1": flat1, "flat2": flat2,
+        "mq1": mq1, "mq2": mq2,
+        "any_mq1": any_mq1, "any_mq2": any_mq2,
+        "rec_out": rec_out, "recs1": recs1, "recs2": recs2,
+    }
+
+
+def bbduk_pair(
+    recs1: Sequence[FastqRecord],
+    recs2: Sequence[FastqRecord],
+    adapters: Optional[KmerRef],
+    min_len: int = 50,
+    trimq: int = 10,
+    entropy_cutoff: float = 0.75,
+    max_len: int = 512,
+) -> BBDukResult:
+    """Full preprocessing of a pair batch (both driver BBDuk passes)."""
+    a = _bbduk_analyze(
+        recs1, recs2, adapters, min_len, trimq, entropy_cutoff, max_len
+    )
+    out1: List[FastqRecord] = []
+    out2: List[FastqRecord] = []
+    lowc: List[FastqRecord] = []
+    removed = 0
+    rec_out = a["rec_out"]
+    ok_l = a["ok"].tolist()
+    low_l = a["low"].tolist()
+    s1_l, e1_l = a["s1"].tolist(), a["e1"].tolist()
+    s2_l, e2_l = a["s2"].tolist(), a["e2"].tolist()
+    m1_l, m2_l = a["any_mq1"].tolist(), a["any_mq2"].tolist()
+    for i in range(a["n"]):
         if not ok_l[i]:
             removed += 1
             continue
-        r1 = rec_out(recs1, flat1, mq1, m1_l[i], i, s1_l[i], e1_l[i])
-        r2 = rec_out(recs2, flat2, mq2, m2_l[i], i, s2_l[i], e2_l[i])
+        r1 = rec_out(recs1, a["flat1"], a["mq1"], m1_l[i], i, s1_l[i], e1_l[i])
+        r2 = rec_out(recs2, a["flat2"], a["mq2"], m2_l[i], i, s2_l[i], e2_l[i])
         if low_l[i]:
             lowc.extend([r1, r2])
         else:
             out1.append(r1)
             out2.append(r2)
     return BBDukResult(out1, out2, lowc, removed)
+
+
+def bbduk_pair_arrays(
+    recs1: Sequence[FastqRecord],
+    recs2: Sequence[FastqRecord],
+    adapters: Optional[KmerRef],
+    min_len: int = 50,
+    trimq: int = 10,
+    entropy_cutoff: float = 0.75,
+    max_len: int = 512,
+) -> BBDukArrays:
+    """bbduk_pair for the array pipeline: the kept pairs come back as
+    trimmed/masked CODE MATRICES (bit-identical to pack_reads over
+    bbduk_pair's output records — kmask/N bases land on code 2, the
+    N->G charMap of encode_seq) and the record views are lazy, so the
+    aligner path skips ~0.2 s/40k-pair batch of string slicing and
+    re-encoding."""
+    from megapath_tpu.index.pack import _CODE as _PACK_CODE
+
+    a = _bbduk_analyze(
+        recs1, recs2, adapters, min_len, trimq, entropy_cutoff, max_len
+    )
+    n, L = a["n"], a["L"]
+    ok, low = a["ok"], a["low"]
+    keep = ok & ~low
+    kept_rows = np.flatnonzero(keep)
+    removed = int((~ok).sum())
+
+    def trimmed_codes(raw, mask, s, e):
+        b = np.where(mask, np.uint8(ord("N")), raw)[kept_rows]
+        codes = _PACK_CODE[b]
+        sk = s[kept_rows]
+        lens = (e - s)[kept_rows].astype(np.int32)
+        src = np.clip(sk[:, None] + np.arange(L)[None, :], 0, L - 1)
+        out = np.take_along_axis(codes, src, axis=1)
+        live = np.arange(L)[None, :] < lens[:, None]
+        return np.where(live, out, 0).astype(np.uint8), lens
+
+    codes1, lens1 = trimmed_codes(a["raw1"], a["m1"], a["s1"], a["e1"])
+    codes2, lens2 = trimmed_codes(a["raw2"], a["m2"], a["s2"], a["e2"])
+
+    rec_out = a["rec_out"]
+
+    def build_end(recs, flat, mq, any_mq, s, e, rows):
+        def build():
+            s_l, e_l, m_l = s.tolist(), e.tolist(), any_mq.tolist()
+            return [
+                rec_out(recs, flat, mq, m_l[i], i, s_l[i], e_l[i])
+                for i in rows
+            ]
+
+        return build
+
+    low_rows = np.flatnonzero(ok & low)
+
+    def build_low():
+        b1 = build_end(
+            recs1, a["flat1"], a["mq1"], a["any_mq1"], a["s1"], a["e1"],
+            low_rows,
+        )()
+        b2 = build_end(
+            recs2, a["flat2"], a["mq2"], a["any_mq2"], a["s2"], a["e2"],
+            low_rows,
+        )()
+        out: List[FastqRecord] = []
+        for r1, r2 in zip(b1, b2):
+            out.extend([r1, r2])
+        return out
+
+    return BBDukArrays(
+        codes1=codes1, lens1=lens1, codes2=codes2, lens2=lens2,
+        kept1=LazyRecList(
+            build_end(recs1, a["flat1"], a["mq1"], a["any_mq1"],
+                      a["s1"], a["e1"], kept_rows),
+            len(kept_rows),
+        ),
+        kept2=LazyRecList(
+            build_end(recs2, a["flat2"], a["mq2"], a["any_mq2"],
+                      a["s2"], a["e2"], kept_rows),
+            len(kept_rows),
+        ),
+        low_complexity=LazyRecList(build_low, 2 * len(low_rows)),
+        removed=removed,
+    )
 

@@ -33,39 +33,70 @@ def genome_coverage(
     start: np.ndarray,
     stop: np.ndarray,
 ) -> CoverageRuns:
-    """Depth runs (including zero-depth) from alignment intervals."""
-    out_seq: List[np.ndarray] = []
-    out_start: List[np.ndarray] = []
-    out_stop: List[np.ndarray] = []
-    out_depth: List[np.ndarray] = []
-    seq = np.asarray(seq)
-    for s, slen in enumerate(seq_lens):
-        m = seq == s
-        diff = np.zeros(slen + 1, dtype=np.int64)
-        if m.any():
-            st = np.clip(start[m], 0, slen)
-            en = np.clip(stop[m], 0, slen)
-            np.add.at(diff, st, 1)
-            np.add.at(diff, en, -1)
-        depth = np.cumsum(diff[:-1])
-        # run-length encode
-        if slen == 0:
-            continue
-        change = np.flatnonzero(np.r_[True, depth[1:] != depth[:-1]])
-        starts = change
-        stops = np.r_[change[1:], slen]
-        out_seq.append(np.full(len(starts), s, dtype=np.int32))
-        out_start.append(starts.astype(np.int64))
-        out_stop.append(stops.astype(np.int64))
-        out_depth.append(depth[starts])
-    if not out_seq:
+    """Depth runs (including zero-depth) from alignment intervals.
+
+    Event-based: depth only changes at interval endpoints, so the runs
+    come from one sort over ~2x the alignment count instead of a dense
+    O(genome-length) diff/cumsum per sequence. Adjacent equal-depth
+    runs are merged, making the output identical to the dense RLE
+    (and thus the fold in spike_regions byte-identical)."""
+    seq = np.asarray(seq, dtype=np.int64)
+    slen_arr = np.asarray(seq_lens, dtype=np.int64)
+    n_seqs = len(slen_arr)
+    live = slen_arr > 0
+    # events: +1 at clipped starts, -1 at clipped stops, plus 0-delta
+    # sentinels at 0 and slen for every non-empty sequence
+    st = np.clip(start, 0, slen_arr[seq])
+    en = np.clip(stop, 0, slen_arr[seq])
+    sent_seq = np.flatnonzero(live).astype(np.int64)
+    ev_seq = np.concatenate([seq, seq, sent_seq, sent_seq])
+    ev_pos = np.concatenate(
+        [st, en, np.zeros(len(sent_seq), np.int64), slen_arr[sent_seq]]
+    )
+    ev_delta = np.concatenate(
+        [
+            np.ones(len(seq), np.int64),
+            -np.ones(len(seq), np.int64),
+            np.zeros(2 * len(sent_seq), np.int64),
+        ]
+    )
+    order = np.lexsort((ev_pos, ev_seq))
+    ev_seq, ev_pos, ev_delta = ev_seq[order], ev_pos[order], ev_delta[order]
+    cum = np.cumsum(ev_delta)  # per-seq deltas sum to 0 -> no reset needed
+    n = len(ev_seq)
+    if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return CoverageRuns(z.astype(np.int32), z, z.copy(), z.copy())
+    # depth after each distinct (seq, pos) breakpoint
+    last = np.r_[
+        (ev_seq[1:] != ev_seq[:-1]) | (ev_pos[1:] != ev_pos[:-1]), True
+    ]
+    b_seq = ev_seq[last]
+    b_pos = ev_pos[last]
+    b_depth = cum[last]
+    # runs between consecutive breakpoints of the same seq
+    has_next = np.r_[b_seq[1:] == b_seq[:-1], False]
+    r_idx = np.flatnonzero(has_next)
+    r_seq = b_seq[r_idx]
+    r_start = b_pos[r_idx]
+    r_stop = b_pos[r_idx + 1]
+    r_depth = b_depth[r_idx]
+    # merge adjacent equal-depth runs (zero-net-delta breakpoints)
+    if len(r_idx):
+        keep = np.r_[
+            True,
+            (r_seq[1:] != r_seq[:-1]) | (r_depth[1:] != r_depth[:-1]),
+        ]
+        grp_last = np.r_[keep[1:], True]
+        r_seq = r_seq[keep]
+        r_start = r_start[keep]
+        r_stop = r_stop[grp_last]
+        r_depth = r_depth[keep]
     return CoverageRuns(
-        np.concatenate(out_seq),
-        np.concatenate(out_start),
-        np.concatenate(out_stop),
-        np.concatenate(out_depth),
+        r_seq.astype(np.int32),
+        r_start.astype(np.int64),
+        r_stop.astype(np.int64),
+        r_depth.astype(np.int64),
     )
 
 
@@ -81,15 +112,34 @@ def spike_regions(
     mean = np.zeros(n_seqs)
     diff_power = np.zeros(n_seqs)
     count = np.zeros(n_seqs)
-    for i in range(len(runs.seq)):
-        s = runs.seq[i]
-        ln = runs.stop[i] - runs.start[i]
-        d = float(runs.depth[i])
-        avg_diff = d - mean[s]
-        new_mean = mean[s] + avg_diff * ln / (count[s] + ln)
-        diff_power[s] += avg_diff**2 * ln * count[s] / (count[s] + ln)
-        count[s] += ln
-        mean[s] = new_mean
+    from megapath_tpu.native.build import load_spike_lib
+
+    lib = load_spike_lib()
+    if lib is not None and len(runs.seq):
+        import ctypes
+
+        seq_c = np.ascontiguousarray(runs.seq, dtype=np.int32)
+        len_c = np.ascontiguousarray(runs.stop - runs.start, np.int64)
+        dep_c = np.ascontiguousarray(runs.depth, dtype=np.int64)
+        lib.spike_moments(
+            seq_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dep_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            np.int64(len(seq_c)),
+            mean.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            diff_power.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            count.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+    else:
+        for i in range(len(runs.seq)):
+            s = runs.seq[i]
+            ln = runs.stop[i] - runs.start[i]
+            d = float(runs.depth[i])
+            avg_diff = d - mean[s]
+            new_mean = mean[s] + avg_diff * ln / (count[s] + ln)
+            diff_power[s] += avg_diff**2 * ln * count[s] / (count[s] + ln)
+            count[s] += ln
+            mean[s] = new_mean
     variance = np.divide(diff_power, count, out=np.zeros_like(diff_power), where=count > 0)
     max_depth = mean + max_depth_stdev * np.sqrt(variance)
 

@@ -17,6 +17,8 @@ _FQ_SO = os.path.join(HERE, "_fastq.so")
 _FQ_SRC = os.path.join(HERE, "fastq.cpp")
 _BB_SO = os.path.join(HERE, "_bbduk.so")
 _BB_SRC = os.path.join(HERE, "bbduk.cpp")
+_SP_SO = os.path.join(HERE, "_spike.so")
+_SP_SRC = os.path.join(HERE, "spike.cpp")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -24,6 +26,8 @@ _fq_lib: Optional[ctypes.CDLL] = None
 _fq_tried = False
 _bb_lib: Optional[ctypes.CDLL] = None
 _bb_tried = False
+_sp_lib: Optional[ctypes.CDLL] = None
+_sp_tried = False
 
 
 def _compile(src: str, so: str, extra: Tuple[str, ...] = ()) -> bool:
@@ -166,6 +170,37 @@ def load_bbduk_lib() -> Optional[ctypes.CDLL]:
             lib.bbduk_qtrim.restype = None
             _bb_lib = lib
             return _bb_lib
+        except OSError:
+            return None
+
+
+def load_spike_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the SPIKE moments fold; None on
+    failure (callers fall back to the Python loop)."""
+    global _sp_lib, _sp_tried
+    with _lock:
+        if _sp_lib is not None:
+            return _sp_lib
+        if _sp_tried:
+            return None
+        _sp_tried = True
+        if not os.path.exists(_SP_SO) or os.path.getmtime(_SP_SO) < os.path.getmtime(_SP_SRC):
+            if not _compile(_SP_SRC, _SP_SO):
+                return None
+        try:
+            lib = ctypes.CDLL(_SP_SO)
+            lib.spike_moments.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.spike_moments.restype = None
+            _sp_lib = lib
+            return _sp_lib
         except OSError:
             return None
 

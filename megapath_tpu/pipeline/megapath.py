@@ -558,7 +558,13 @@ class MegaPathPipeline:
 
         # -- 0. preprocess (bbduk passes, runMegaPath.sh:119) ----------
         if not cfg.skip_preprocess:
-            bb = bbduk_pair(
+            # array fast path: bbduk hands back the trimmed/masked
+            # code matrices directly (bit-identical to pack_reads over
+            # its record output) and the records stay lazy — the
+            # aligner never needs them, only the LSAM/FASTQ sinks do
+            from megapath_tpu.filters.bbduk import bbduk_pair_arrays
+
+            ba = bbduk_pair_arrays(
                 recs1,
                 recs2,
                 self.adapters,
@@ -567,12 +573,18 @@ class MegaPathPipeline:
                 entropy_cutoff=cfg.entropy,
                 max_len=cfg.max_read_len,
             )
-            recs1, recs2 = bb.kept1, bb.kept2
-        n_pre = len(recs1)
-
-        # -- pack ------------------------------------------------------
-        reads1, lens1 = pack_reads([r.seq for r in recs1], cfg.max_read_len)
-        reads2, lens2 = pack_reads([r.seq for r in recs2], cfg.max_read_len)
+            recs1, recs2 = ba.kept1, ba.kept2
+            reads1, lens1 = ba.codes1, ba.lens1
+            reads2, lens2 = ba.codes2, ba.lens2
+            n_pre = len(recs1)
+        else:
+            n_pre = len(recs1)
+            reads1, lens1 = pack_reads(
+                [r.seq for r in recs1], cfg.max_read_len
+            )
+            reads2, lens2 = pack_reads(
+                [r.seq for r in recs2], cfg.max_read_len
+            )
 
         # -- 1. human filter (runMegaPath.sh:128-153) ------------------
         if self.hg_engine is not None and not cfg.skip_human and n_pre:

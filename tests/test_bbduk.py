@@ -132,3 +132,51 @@ def test_bbduk_pair_end_to_end():
     assert [r.name for r in res.kept1] == ["ok"]
     assert {r.name for r in res.low_complexity} == {"low"}
     assert res.removed_short == 1
+
+
+def test_bbduk_pair_arrays_matches_record_path():
+    """bbduk_pair_arrays code matrices == pack_reads over bbduk_pair's
+    record output, and the lazy record views are identical — across
+    adapters/kmask, quality trims, Ns, and low-complexity splits."""
+    from megapath_tpu.filters.bbduk import bbduk_pair_arrays
+    from megapath_tpu.index.pack import pack_reads
+
+    rng = np.random.default_rng(11)
+    adapter = "".join(rng.choice(list("ACGT")) for _ in range(31))
+    adapters = build_kmer_ref([adapter], k=27, hdist=1)
+    L = 120
+
+    def mk(i):
+        n = int(rng.integers(60, L + 1))
+        s = "".join(rng.choice(list("ACGT")) for _ in range(n))
+        if i % 4 == 0:  # embed adapter -> kmask
+            p = int(rng.integers(0, n - 31))
+            s = s[:p] + adapter + s[p + 31 :]
+        if i % 5 == 0:  # sprinkle Ns
+            q = int(rng.integers(0, n))
+            s = s[:q] + "N" + s[q + 1 :]
+        qual = "".join(
+            chr(33 + int(rng.integers(2, 40))) for _ in range(n)
+        )
+        return FastqRecord(f"r{i}", s, qual)
+
+    r1 = [mk(i) for i in range(64)]
+    r2 = [mk(i + 1000) for i in range(64)]
+    kw = dict(min_len=40, trimq=10, entropy_cutoff=0.75, max_len=L)
+    want = bbduk_pair(r1, r2, adapters, **kw)
+    got = bbduk_pair_arrays(r1, r2, adapters, **kw)
+
+    assert got.removed == want.removed_short
+    assert len(got.kept1) == len(want.kept1)
+    w1, wl1 = pack_reads([r.seq for r in want.kept1], L)
+    w2, wl2 = pack_reads([r.seq for r in want.kept2], L)
+    np.testing.assert_array_equal(got.codes1, w1)
+    np.testing.assert_array_equal(got.lens1, wl1)
+    np.testing.assert_array_equal(got.codes2, w2)
+    np.testing.assert_array_equal(got.lens2, wl2)
+    for a, b in zip(got.kept1, want.kept1):
+        assert (a.name, a.seq, a.qual) == (b.name, b.seq, b.qual)
+    for a, b in zip(got.kept2, want.kept2):
+        assert (a.name, a.seq, a.qual) == (b.name, b.seq, b.qual)
+    for a, b in zip(got.low_complexity, want.low_complexity):
+        assert (a.name, a.seq, a.qual) == (b.name, b.seq, b.qual)
