@@ -200,67 +200,149 @@ def deep_dp_fused(
     return left, right
 
 
-def _take_oriented(
-    reads_all: jnp.ndarray,  # uint8 [Nr, L] forward codes
-    lens_all: jnp.ndarray,  # int32 [Nr]
-    idx: jnp.ndarray,  # int32 [C]
-    flip: bool,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather read rows (revcomp'd when ``flip``) on device — the
-    candidate fan-out stays in HBM instead of being gathered on the
-    host and re-uploaded (~4 MB h2d per deep-DP batch)."""
-    rows = jnp.take(reads_all, idx, axis=0).astype(jnp.int32)
-    lens = jnp.take(lens_all, idx).astype(jnp.int32)
-    if not flip:
-        return rows.astype(jnp.uint8), lens
-    L = reads_all.shape[1]
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    src = lens[:, None] - 1 - j
-    rc = jnp.where(
-        src >= 0,
-        3 - jnp.take_along_axis(rows, jnp.clip(src, 0, L - 1), axis=1),
-        0,
-    )
-    return rc.astype(jnp.uint8), lens
+def pack_ref_words(codes: "np.ndarray"):
+    """Host one-time: uint8 codes [n] -> uint32 words [(n+15)//16],
+    char j at bits 2*(j%16) of word j//16 (the seeding walk's packed
+    layout)."""
+    import numpy as np
+
+    n = len(codes)
+    nw = (n + 15) // 16
+    pad = np.zeros(nw * 16, np.uint32)
+    pad[:n] = codes
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    return (pad.reshape(nw, 16) << shifts).sum(axis=1, dtype=np.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "params"))
-def deep_dp_fused_idx(
-    ref_codes: jnp.ndarray,
-    reads_all: jnp.ndarray,  # uint8 [Nr, L] all reads, forward codes
-    lens_all: jnp.ndarray,  # int32 [Nr]
-    left_idx: jnp.ndarray,  # int32 [C] rows of the left (+) legs
+def gather_windows_packed(
+    ref_words: jnp.ndarray,  # uint32 [(n+15)//16]
+    n_text: int,
+    starts: jnp.ndarray,  # int32 [C]
+    width: int,
+) -> jnp.ndarray:
+    """[C] window starts -> [C, width] char codes, gathering at PACKED
+    WORD granularity: C x (width/16+1) word rows instead of C x width
+    scalar gathers — the gather unit's cost is per row (~4 ns), so
+    this is ~16x cheaper than the byte-level gather_windows. Off-text
+    cells get OFF_TEXT_CODE."""
+    assert width % 16 == 0, "packed window gather needs 16-aligned width"
+    C = starts.shape[0]
+    nw = width // 16 + 1
+    nwords = ref_words.shape[0]
+    w0 = starts >> 4
+    cols = w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    words = jnp.take(
+        ref_words, jnp.clip(cols, 0, nwords - 1).reshape(-1), axis=0
+    ).reshape(C, nw)
+    b = (2 * (starts & 15)).astype(jnp.uint32)[:, None]
+    aligned = (words[:, :-1] >> b) | jnp.where(
+        b > 0, words[:, 1:] << (jnp.uint32(32) - b), jnp.uint32(0)
+    )  # (C, width//16): char j of the window at bits 2*(j%16) of col j//16
+    rep = jnp.repeat(aligned, 16, axis=1)[:, :width]
+    j = jnp.arange(width, dtype=jnp.int32)
+    chars = (
+        (rep >> (2 * (j & 15)).astype(jnp.uint32)[None, :]) & jnp.uint32(3)
+    ).astype(jnp.int32)
+    idx = starts[:, None] + j[None, :]
+    ok = (idx >= 0) & (idx < n_text)
+    return jnp.where(ok, chars, OFF_TEXT_CODE).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_text", "nb", "width", "params")
+)
+def deep_dp_fused_walk(
+    ref_words: jnp.ndarray,  # uint32 packed shard text
+    n_text: int,
+    walkers: jnp.ndarray,  # uint8 [2*nb, L]: [reads; revcomp] rows
+    lens_all: jnp.ndarray,  # int32 [nb]
+    nb: int,
+    left_idx: jnp.ndarray,  # int32 [C] read rows of the left (+) legs
     left_starts: jnp.ndarray,
     left_win_lens: jnp.ndarray,
-    right_idx: jnp.ndarray,  # int32 [C] rows of the right (-) legs
+    right_idx: jnp.ndarray,  # int32 [C] read rows of the right (-) legs
     right_starts: jnp.ndarray,
     right_full_wl: jnp.ndarray,
     width: int,
     insert_high: int,
     params: DPParams = DPParams(),
 ) -> Tuple[FullAlignOut, FullAlignOut]:
-    """deep_dp_fused with the candidate read gather + right-leg
-    revcomp done ON DEVICE from the batch's resident read matrix (the
-    same upload the seeding walk used): the host sends only the int32
-    candidate index arrays."""
-    left_reads, left_lens = _take_oriented(
-        reads_all, lens_all, left_idx, flip=False
-    )
-    right_reads, right_lens = _take_oriented(
-        reads_all, lens_all, right_idx, flip=True
-    )
-    left = _align_with_starts(
-        ref_codes, left_reads, left_lens, left_starts,
-        left_win_lens, width, params,
+    """Both deep-DP legs against the seeding walk's resident state:
+    candidate reads come straight from the walker matrix (row i =
+    forward read i, row nb+i = its revcomp — no on-device revcomp
+    gather at all), and the reference windows gather at packed-word
+    granularity (gather_windows_packed). The host ships only int32
+    index arrays. Semantics identical to deep_dp_fused
+    (DV-DPfunctions.cpp:2933-2959 right-window clip on device)."""
+    left_reads = jnp.take(walkers, left_idx, axis=0)
+    left_lens = jnp.take(lens_all, left_idx).astype(jnp.int32)
+    right_reads = jnp.take(walkers, right_idx + jnp.int32(nb), axis=0)
+    right_lens = jnp.take(lens_all, right_idx).astype(jnp.int32)
+    wins_l = gather_windows_packed(ref_words, n_text, left_starts, width)
+    left = _align_with_starts_wins(
+        left_reads, wins_l, left_lens, left_win_lens, width, params
     )
     hit_left = left_starts + left.start_ref
     bound = hit_left + jnp.int32(insert_high) - right_starts
     wl_r = jnp.clip(jnp.minimum(right_full_wl, bound), 0, width)
-    right = _align_with_starts(
-        ref_codes, right_reads, right_lens, right_starts,
-        wl_r.astype(jnp.int32), width, params,
+    wins_r = gather_windows_packed(ref_words, n_text, right_starts, width)
+    right = _align_with_starts_wins(
+        right_reads, wins_r, right_lens, wl_r.astype(jnp.int32), width,
+        params,
     )
     return left, right
+
+
+def _align_with_starts_wins(
+    reads: jnp.ndarray,
+    wins: jnp.ndarray,
+    read_lens: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    width: int,
+    params: DPParams,
+) -> FullAlignOut:
+    """_align_with_starts on pre-gathered windows."""
+    from megapath_tpu.ops.dp import _on_tpu
+
+    C, L = reads.shape
+    if _on_tpu() and C % 128 == 0:
+        from megapath_tpu.ops.dp_pallas import sw_align_full_pallas_t
+
+        full = sw_align_full_pallas_t(
+            reads, wins, read_lens, win_lens, params=params, block_b=128
+        )
+        return FullAlignOut(
+            score=full.score,
+            start_ref=full.start_ref,
+            end_ref=full.end_ref,
+            end_read=full.end_read,
+            start_read=full.start_read,
+        )
+    fwd = sw_align_auto(reads, wins, read_lens, win_lens, params=params)
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rsrc = fwd.end_read[:, None] - 1 - jj
+    rev_reads = jnp.where(
+        rsrc >= 0,
+        jnp.take_along_axis(reads, jnp.clip(rsrc, 0, L - 1), axis=1),
+        0,
+    ).astype(jnp.uint8)
+    ii = jnp.arange(width, dtype=jnp.int32)[None, :]
+    wsrc = fwd.end_ref[:, None] - 1 - ii
+    rev_wins = jnp.where(
+        wsrc >= 0,
+        jnp.take_along_axis(wins, jnp.clip(wsrc, 0, width - 1), axis=1),
+        OFF_TEXT_CODE,
+    ).astype(jnp.uint8)
+    rev = sw_align_auto(
+        rev_reads, rev_wins, fwd.end_read, fwd.end_ref, params=params
+    )
+    return FullAlignOut(
+        score=fwd.score,
+        start_ref=fwd.end_ref - rev.end_ref,
+        end_ref=fwd.end_ref,
+        end_read=fwd.end_read,
+        start_read=fwd.end_read - rev.end_read,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "params"))

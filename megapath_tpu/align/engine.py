@@ -225,9 +225,10 @@ class AlignEngine:
         # extra argsort/gather levels cost more than they save).
         self.seed_compact: bool = True
         self.seed_compact_min: int = 16384
-        # (id, reads_dev, lens_dev, N): the seeding walk's read upload,
-        # reused by deep-DP's on-device candidate gather
+        # (id, walkers_dev, lens_dev, N, Nb): the seeding walk's
+        # device state, reused by deep-DP's on-device candidate gather
         self._batch_dev = None
+        self._ref_words_dev = None  # packed shard text (lazy)
         # pipelined-batch chunk size (pairs): batches >= 2 chunks run
         # seed-walk(i+1) before decode(i) so host work hides behind the
         # device. DISABLED by default (0): on the axon-tunneled v5e the
@@ -264,6 +265,7 @@ class AlignEngine:
         self.dfm = None
         self._ref_dev = None
         self._batch_dev = None
+        self._ref_words_dev = None
 
     @property
     def committed(self) -> bool:
@@ -352,12 +354,6 @@ class AlignEngine:
         else:
             reads_d = jnp.asarray(reads)
             lens_d = jnp.asarray(lens.astype(np.int32))
-        # stash the upload for the deep-DP stage: its candidate gather
-        # can run on device against this same resident matrix instead
-        # of re-uploading host-gathered rows (keyed by the ORIGINAL
-        # array identity — later seeding rounds stash their subsets
-        # under their own ids and deep-DP just misses the cache)
-        self._batch_dev = (orig_reads_id, reads_d, lens_d, N)
         import jax
 
         if not segmented:
@@ -382,7 +378,14 @@ class AlignEngine:
                 self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
                 plan, cap, lcap,
             )
-            res = self._seed_pipeline_finish(fl, cap, N, Nb)
+            # stash the walk's device state for the deep-DP stage: its
+            # candidate reads gather straight from the [reads; revcomp]
+            # walker matrix (keyed by the ORIGINAL array identity —
+            # later seeding rounds stash their subsets under their own
+            # ids and deep-DP just misses the cache). walkers stay
+            # device-resident; only fl[:-1] is pulled.
+            self._batch_dev = (orig_reads_id, fl[-1], lens_d, N, Nb)
+            res = self._seed_pipeline_finish(fl[:-1], cap, N, Nb)
             if res is OVERFLOW and staged:
                 # staged caps exceeded (loud rare fallback): rerun the
                 # plain full-width walk through the same pipeline
@@ -390,7 +393,8 @@ class AlignEngine:
                     self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
                     (), cap, lcap,
                 )
-                res = self._seed_pipeline_finish(fl, cap, N, Nb)
+                self._batch_dev = (orig_reads_id, fl[-1], lens_d, N, Nb)
+                res = self._seed_pipeline_finish(fl[:-1], cap, N, Nb)
             if res is not None and res is not OVERFLOW:
                 return res
             # flatten cap overflow (seeds complete, > cap rows): raw
@@ -710,20 +714,26 @@ class AlignEngine:
             st_r[:n].astype(np.int64), e_r[:n].astype(np.int64),
         )
 
-    def _deep_dp_fused_idx_call(
-        self, reads_dev, lens_dev, l_idx, l_starts, l_wl,
+    def _deep_dp_walk_call(
+        self, walkers_dev, lens_dev, Nb, l_idx, l_starts, l_wl,
         r_idx, r_starts, r_full_wl, width,
     ):
         """Bucket-pad the int32 index/start arrays + run
-        deep_dp_fused_idx + one batched pull."""
-        from megapath_tpu.align.device import deep_dp_fused_idx
+        deep_dp_fused_walk + one batched pull."""
+        from megapath_tpu.align.device import deep_dp_fused_walk
 
         import jax
 
-        if self._ref_dev is None:
+        if self._ref_words_dev is None:
             import jax.numpy as jnp
 
-            self._ref_dev = jnp.asarray(self.ref.codes)
+            from megapath_tpu.align.device import pack_ref_words
+
+            words = pack_ref_words(self.ref.codes)
+            self._ref_words_dev = (
+                jax.device_put(words, self.device)
+                if self.device is not None else jnp.asarray(words)
+            )
         n = l_idx.shape[0]
         nb = _bucket(n)
 
@@ -735,8 +745,9 @@ class AlignEngine:
 
         p = self.params
         dp = DPParams(p.match, p.mismatch, p.gap_open, p.gap_extend)
-        left, right = deep_dp_fused_idx(
-            self._ref_dev, reads_dev, lens_dev,
+        left, right = deep_dp_fused_walk(
+            self._ref_words_dev, len(self.ref.codes), walkers_dev,
+            lens_dev, Nb,
             pad1(l_idx), pad1(l_starts), np.clip(pad1(l_wl), 0, width),
             pad1(r_idx), pad1(r_starts),
             np.clip(pad1(r_full_wl), 0, width),
@@ -961,11 +972,12 @@ class AlignEngine:
         starts_r_all = cands.right_pos - margin_r
         bd = self._batch_dev
         if bd is not None and bd[0] == id(allr) and bd[3] >= 2 * n:
-            # candidate gather + right-leg revcomp ON DEVICE against
-            # the batch matrix the seeding walk already uploaded — the
-            # host ships only int32 index arrays (deep_dp_fused_idx)
-            s1, st_l, e_l, s2a, st_ra, e_ra = self._deep_dp_fused_idx_call(
-                bd[1], bd[2], left_read_idx, starts_l,
+            # candidate reads gather ON DEVICE from the seeding walk's
+            # resident [reads; revcomp] matrix (row i / row Nb+i) and
+            # the ref windows gather at packed-word granularity — the
+            # host ships only int32 index arrays (deep_dp_fused_walk)
+            s1, st_l, e_l, s2a, st_ra, e_ra = self._deep_dp_walk_call(
+                bd[1], bd[2], bd[4], left_read_idx, starts_l,
                 (lL + 2 * margin_l), right_read_idx, starts_r_all,
                 (lR + 2 * margin_r), Wwin,
             )

@@ -96,8 +96,20 @@ class DeviceFM:
         m = min(n_blocks, words2d.shape[0])
         fused[:m, 4:] = words2d[:m]
         if lut_k:
+            # device LUT re-indexed by the LITTLE-endian 2-bit key:
+            # the walk's funnel-shifted packed-word chunk holds chars
+            # at bits 2t in ascending position order, so `chunk & mask`
+            # is the key directly — the per-step 8-iteration big-endian
+            # recompose loop (measured ~20% of walk time) disappears.
+            keys = np.arange(4**lut_k, dtype=np.int64)
+            rev = np.zeros_like(keys)
+            for t in range(lut_k):
+                rev |= ((keys >> (2 * t)) & 3) << (2 * (lut_k - 1 - t))
             lut_pairs = np.stack(
-                [fm.lut_lo.astype(np.uint32), fm.lut_hi.astype(np.uint32)],
+                [
+                    fm.lut_lo.astype(np.uint32)[rev],
+                    fm.lut_hi.astype(np.uint32)[rev],
+                ],
                 axis=1,
             )
         else:
@@ -353,31 +365,38 @@ def device_mmp_seed(
     packed = jnp.pad(body, ((0, 0), (0, 1)))
     cols16 = jnp.arange(W16, dtype=jnp.int32)[None, :]
 
-    def fetch_words3(a, b, c):
-        """packed[row, {a,b,c}[row]] in ONE masked reduce (one kernel
-        per loop iteration instead of three)."""
-        idx = jnp.stack([a, b, c], axis=1)  # [Wn, 3]
-        hit = cols16[:, None, :] == idx[:, :, None]  # [Wn, 3, W16]
+    def fetch_words2(a, b):
+        """packed[row, {a,b}[row]] in ONE masked reduce."""
+        idx = jnp.stack([a, b], axis=1)  # [Wn, 2]
+        hit = cols16[:, None, :] == idx[:, :, None]  # [Wn, 2, W16]
         return jnp.sum(
             jnp.where(hit, packed[:, None, :], jnp.uint32(0)), axis=2
-        )  # [Wn, 3]
+        )  # [Wn, 2]
 
     def char_and_kmer(j, j0):
-        """(walker char at column j, k-mer starting at column j0) —
-        A-padded past the read end like the old precomputed km table."""
+        """(walker char at column j, little-endian k-mer key starting
+        at column j0) — A-padded past the read end like the old
+        precomputed km table.
+
+        j == j0 + k - 1 (the k-mer ENDS at the cursor), so with k <=
+        16 the char's word is always one of the k-mer's two packed
+        words: two one-hot word fetches serve both, and the
+        device-side LUT is indexed little-endian (see from_host) so
+        the key is just `chunk & mask` — no per-char recompose."""
         jc = jnp.clip(j, 0, L - 1)
         j0c = jnp.clip(j0, 0, L - 1)
-        w3 = fetch_words3(jc >> 4, j0c >> 4, (j0c >> 4) + 1)
-        cw, w0, w1 = w3[:, 0], w3[:, 1], w3[:, 2]
+        w2 = fetch_words2(j0c >> 4, (j0c >> 4) + 1)
+        w0, w1 = w2[:, 0], w2[:, 1]
+        cw = jnp.where((jc >> 4) == (j0c >> 4), w0, w1)
         ch = ((cw >> (2 * (jc & 15)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
-        bshift = (2 * (j0c & 15)).astype(jnp.uint32)
-        chunk = (w0 >> bshift) | jnp.where(
-            bshift > 0, w1 << (jnp.uint32(32) - bshift), jnp.uint32(0)
-        )
-        v = jnp.zeros(Wn, jnp.int32)
-        for t in range(k):
-            cc = ((chunk >> jnp.uint32(2 * t)) & jnp.uint32(3)).astype(jnp.int32)
-            v = v | (cc << (2 * (k - 1 - t)))
+        if k:
+            bshift = (2 * (j0c & 15)).astype(jnp.uint32)
+            chunk = (w0 >> bshift) | jnp.where(
+                bshift > 0, w1 << (jnp.uint32(32) - bshift), jnp.uint32(0)
+            )
+            v = (chunk & jnp.uint32((1 << (2 * k)) - 1)).astype(jnp.int32)
+        else:
+            v = jnp.zeros(Wn, jnp.int32)
         return ch, v
 
 
@@ -762,7 +781,11 @@ def device_seed_pipeline(
             dfm, walkers, wlens, params, max_seeds, max_steps=max_steps
         )
         overflow = jnp.zeros((), bool)
-    return flatten_seeds(seeds, cap) + (overflow,)
+    # walkers ride along DEVICE-RESIDENT (the caller must NOT pull
+    # them): row i = forward read i, row N+i = its revcomp — the
+    # deep-DP stage gathers its candidate reads from this matrix
+    # (deep_dp_fused_walk) instead of re-uploading host gathers
+    return flatten_seeds(seeds, cap) + (overflow, walkers)
 
 
 @functools.partial(
@@ -789,13 +812,15 @@ def device_seed_pipeline_loc(
     from text coordinates without a second dispatch/sync round trip.
 
     Returns (n_valid, walker, offset, length, sa_lo, sa_count,
-    text_pos[lcap], n_rows, walk_overflow, loc_overflow) —
+    text_pos[lcap], n_rows, walk_overflow, loc_overflow, walkers) —
     ``loc_overflow`` means ``n_rows > lcap`` (positions incomplete;
-    the seeds themselves are still usable)."""
+    the seeds themselves are still usable); ``walkers`` is the
+    device-resident [reads; revcomp] matrix (do not pull)."""
     out = device_seed_pipeline(
         dfm, reads, lens, params, max_seeds, max_steps, seg_plan, cap
     )
-    n_valid, walker, offset, length, sa_lo, sa_count, overflow = out
+    (n_valid, walker, offset, length, sa_lo, sa_count, overflow,
+     walkers) = out
     cnt = sa_count.astype(jnp.int32)
     cum = jnp.cumsum(cnt)
     tot = cum[-1]
@@ -810,7 +835,7 @@ def device_seed_pipeline_loc(
     pos = device_locate(dfm, rows, dfm.sa_interval)
     return (
         n_valid, walker, offset, length, sa_lo, sa_count, pos, tot,
-        overflow, loc_overflow,
+        overflow, loc_overflow, walkers,
     )
 
 

@@ -476,8 +476,16 @@ def _bbduk_analyze(
     # entropy on the trimmed reads (N/masked count as A = 0), shifted
     # to column 0 with one take_along_axis per end
     def shift_trimmed(codes, nn, start, length):
-        src = np.clip(start[:, None] + np.arange(L)[None, :], 0, L - 1)
-        vals = np.take_along_axis(np.where(nn, 0, codes), src, axis=1)
+        vals = np.where(nn, 0, codes)
+        moved = np.flatnonzero(start > 0)
+        if len(moved):
+            # only head-trimmed rows need the per-row gather (most
+            # rows keep start 0 — the gather over the full matrix was
+            # a top pipeline cost)
+            src = np.clip(
+                start[moved, None] + np.arange(L)[None, :], 0, L - 1
+            )
+            vals[moved] = np.take_along_axis(vals[moved], src, axis=1)
         live = np.arange(L)[None, :] < length[:, None]
         return np.where(live, vals, 0).astype(np.uint8)
 
@@ -598,10 +606,15 @@ def bbduk_pair_arrays(
         codes = _PACK_CODE[b]
         sk = s[kept_rows]
         lens = (e - s)[kept_rows].astype(np.int32)
-        src = np.clip(sk[:, None] + np.arange(L)[None, :], 0, L - 1)
-        out = np.take_along_axis(codes, src, axis=1)
+        moved = np.flatnonzero(sk > 0)
+        if len(moved):
+            # per-row shift only for head-trimmed rows (rare)
+            src = np.clip(
+                sk[moved, None] + np.arange(L)[None, :], 0, L - 1
+            )
+            codes[moved] = np.take_along_axis(codes[moved], src, axis=1)
         live = np.arange(L)[None, :] < lens[:, None]
-        return np.where(live, out, 0).astype(np.uint8), lens
+        return np.where(live, codes, 0).astype(np.uint8), lens
 
     codes1, lens1 = trimmed_codes(a["raw1"], a["m1"], a["s1"], a["e1"])
     codes2, lens2 = trimmed_codes(a["raw2"], a["m2"], a["s2"], a["e2"])
