@@ -293,6 +293,30 @@ def deep_dp_fused_walk(
     return left, right
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_text", "width", "params")
+)
+def align_rows_walk(
+    ref_words: jnp.ndarray,
+    n_text: int,
+    walkers: jnp.ndarray,  # uint8 [2*nb, L]: [reads; revcomp]
+    rows: jnp.ndarray,  # int32 [C] walker rows (idx + strand*nb)
+    read_lens: jnp.ndarray,  # int32 [C]
+    win_starts: jnp.ndarray,  # int32 [C]
+    win_lens: jnp.ndarray,  # int32 [C]
+    width: int,
+    params: DPParams = DPParams(),
+) -> FullAlignOut:
+    """Single-leg DP (SE / mate rescue) against the walker matrix +
+    packed window gather: the oriented read IS a walker row (forward
+    at idx, revcomp at nb+idx), so the host ships only row indices."""
+    reads = jnp.take(walkers, rows, axis=0)
+    wins = gather_windows_packed(ref_words, n_text, win_starts, width)
+    return _align_with_starts_wins(
+        reads, wins, read_lens, win_lens, width, params
+    )
+
+
 def _align_with_starts_wins(
     reads: jnp.ndarray,
     wins: jnp.ndarray,

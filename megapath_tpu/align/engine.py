@@ -763,6 +763,54 @@ class AlignEngine:
             st_r[:n].astype(np.int64), e_r[:n].astype(np.int64),
         )
 
+    def _device_align_rows(
+        self,
+        rows: np.ndarray,  # walker rows (idx + strand*Nb)
+        lens: np.ndarray,
+        win_starts: np.ndarray,
+        width: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """_device_align against the resident walker matrix + packed
+        windows (SE / mate-rescue legs); requires a valid _batch_dev
+        stash (callers check)."""
+        from megapath_tpu.align.device import align_rows_walk
+
+        import jax
+
+        if self._ref_words_dev is None:
+            import jax.numpy as jnp
+
+            from megapath_tpu.align.device import pack_ref_words
+
+            words = pack_ref_words(self.ref.codes)
+            self._ref_words_dev = (
+                jax.device_put(words, self.device)
+                if self.device is not None else jnp.asarray(words)
+            )
+        n = rows.shape[0]
+        nb = _bucket(n)
+
+        def pad1(a, dt=np.int32):
+            a = a.astype(dt)
+            if nb == n:
+                return a
+            return np.concatenate([a, np.zeros(nb - n, dt)])
+
+        p = self.params
+        dp = DPParams(p.match, p.mismatch, p.gap_open, p.gap_extend)
+        out = align_rows_walk(
+            self._ref_words_dev, len(self.ref.codes), self._batch_dev[1],
+            pad1(rows), pad1(lens), pad1(win_starts),
+            np.full(nb, width, np.int32), width, params=dp,
+        )
+        score, st_ref, e_ref = jax.device_get(
+            (out.score, out.start_ref, out.end_ref)
+        )
+        return (
+            score[:n].astype(np.int64), st_ref[:n].astype(np.int64),
+            e_ref[:n].astype(np.int64),
+        )
+
     def _device_locate(self, rows: np.ndarray) -> np.ndarray:
         from megapath_tpu.align.seeding_jax import device_locate
 
@@ -1102,15 +1150,24 @@ class AlignEngine:
             rl = all_lens[reads_idx]
             margin = np.where(rl > 100, 30, 25)
             Wwin = _round_up(int(rl.max(initial=1)) + 62, 64)
-            # + strand: forward read; - strand: revcomp
-            fwd = allr[reads_idx]
-            seqs = np.where(
-                (strand_b == 0)[:, None], fwd, _revcomp_rows(fwd, rl)
-            ).astype(np.uint8)
             wstart = pos_b - margin
-            score, st_ref, e_ref = self._device_align(
-                seqs, rl.astype(np.int32), wstart, Wwin
-            )
+            bd = self._batch_dev
+            if bd is not None and bd[0] == id(allr) and bd[3] >= 2 * n:
+                # oriented read = walker row (fwd at idx, rc at Nb+idx)
+                rows = (reads_idx + strand_b.astype(np.int64) * bd[4])
+                score, st_ref, e_ref = self._device_align_rows(
+                    rows.astype(np.int32), rl.astype(np.int32), wstart,
+                    Wwin,
+                )
+            else:
+                # + strand: forward read; - strand: revcomp
+                fwd = allr[reads_idx]
+                seqs = np.where(
+                    (strand_b == 0)[:, None], fwd, _revcomp_rows(fwd, rl)
+                ).astype(np.uint8)
+                score, st_ref, e_ref = self._device_align(
+                    seqs, rl.astype(np.int32), wstart, Wwin
+                )
             thr = np.maximum((params.cutoff_ratio * rl).astype(np.int64),
                              params.cutoff_lower_bound)
             kidx = np.flatnonzero(score >= thr)
@@ -1192,13 +1249,20 @@ class AlignEngine:
             strand == 0, g_start - margin, g_stop - params.insert_high - margin
         )
         mate_strand = 1 - strand
-        fwd = allr[mate_idx]
-        seqs = np.where(
-            (mate_strand == 0)[:, None], fwd, _revcomp_rows(fwd, ml)
-        ).astype(np.uint8)
-        score, st_ref, e_ref = self._device_align(
-            seqs, ml.astype(np.int32), win_start, W
-        )
+        bd = self._batch_dev
+        if bd is not None and bd[0] == id(allr) and bd[3] >= 2 * n:
+            rows = mate_idx + mate_strand * bd[4]
+            score, st_ref, e_ref = self._device_align_rows(
+                rows.astype(np.int32), ml.astype(np.int32), win_start, W
+            )
+        else:
+            fwd = allr[mate_idx]
+            seqs = np.where(
+                (mate_strand == 0)[:, None], fwd, _revcomp_rows(fwd, ml)
+            ).astype(np.uint8)
+            score, st_ref, e_ref = self._device_align(
+                seqs, ml.astype(np.int32), win_start, W
+            )
         thr = np.maximum((params.cutoff_ratio * ml).astype(np.int64),
                          params.cutoff_lower_bound)
         kidx = np.flatnonzero(score >= thr)

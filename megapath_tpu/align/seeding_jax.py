@@ -91,29 +91,34 @@ class DeviceFM:
         wpb = OCC_BLOCK // WORD_CHARS
         words2d = fm.bwt_words.reshape(-1, wpb)
         n_blocks = fm.occ.shape[0] - 1
-        fused = np.zeros((n_blocks + 1, 4 + wpb), dtype=np.uint32)
-        fused[:, :4] = fm.occ.astype(np.uint32)
+        occ_fused = np.zeros((n_blocks + 1, 4 + wpb), dtype=np.uint32)
+        occ_fused[:, :4] = fm.occ.astype(np.uint32)
         m = min(n_blocks, words2d.shape[0])
-        fused[:m, 4:] = words2d[:m]
+        occ_fused[:m, 4:] = words2d[:m]
         if lut_k:
-            # device LUT re-indexed by the LITTLE-endian 2-bit key:
-            # the walk's funnel-shifted packed-word chunk holds chars
-            # at bits 2t in ascending position order, so `chunk & mask`
-            # is the key directly — the per-step 8-iteration big-endian
-            # recompose loop (measured ~20% of walk time) disappears.
+            # The k-mer LUT lives IN the fused table, as rows [0, 4^k)
+            # BEFORE the occ blocks (occ block b at row 4^k + b, a
+            # STATIC offset): fresh walkers need the LUT and not occ,
+            # so the walk steers their occ-gather slot at the LUT row
+            # instead of issuing a separate 1-row-per-walker LUT
+            # gather — the gather unit's cost is per row (~4 ns), so
+            # this cuts the per-step gather volume by 1/3.
+            #
+            # LUT rows are indexed by the LITTLE-endian 2-bit key: the
+            # walk's funnel-shifted packed-word chunk holds chars at
+            # bits 2t in ascending position order, so `chunk & mask`
+            # is the key directly — no per-step big-endian recompose.
             keys = np.arange(4**lut_k, dtype=np.int64)
             rev = np.zeros_like(keys)
             for t in range(lut_k):
                 rev |= ((keys >> (2 * t)) & 3) << (2 * (lut_k - 1 - t))
-            lut_pairs = np.stack(
-                [
-                    fm.lut_lo.astype(np.uint32)[rev],
-                    fm.lut_hi.astype(np.uint32)[rev],
-                ],
-                axis=1,
-            )
+            lut_rows = np.zeros((4**lut_k, 4 + wpb), dtype=np.uint32)
+            lut_rows[:, 0] = fm.lut_lo.astype(np.uint32)[rev]
+            lut_rows[:, 1] = fm.lut_hi.astype(np.uint32)[rev]
+            fused = np.concatenate([lut_rows, occ_fused])
         else:
-            lut_pairs = np.zeros((1, 2), np.uint32)
+            fused = occ_fused
+        lut_pairs = np.zeros((1, 2), np.uint32)  # folded into fused
         mark_words, mark_chk = pack_mark_rank(fm.mark_rank, int(fm.n))
         return cls(
             n=int(fm.n),
@@ -175,7 +180,8 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     less VPU work on the seeding hot loop.
     """
     block = idx // OCC_BLOCK
-    rows = jnp.take(dfm.fused_rows, block, axis=0)  # (B, 4+wpb) uint32
+    off = 4**dfm.lut_k if dfm.lut_k else 0  # LUT rows prefix the table
+    rows = jnp.take(dfm.fused_rows, block + off, axis=0)  # (B, 4+wpb)
     rel = idx - block * OCC_BLOCK
     return _occ_from_rows(rows, rel, c)
 
@@ -548,23 +554,29 @@ def device_mmp_seed(
             c, _ = char_and_kmer(jj, jj)
         c_ext = jnp.where(ext, c, 0)
 
-        # fused occ rows serve both rank queries in one gather; the
-        # k-mer LUT (own (4^k, 2) table — LOOKUP_K=13 would blow the
-        # fused layout up 8x) is a second small gather for fresh rows
+        # ONE fused gather serves both rank queries AND the fresh
+        # walkers' k-mer LUT jump: LUT rows prefix the fused table
+        # (rows [0, 4^k), occ block b at 4^k + b), and a fresh walker
+        # needs the LUT instead of occ — so its lo-slot gathers the
+        # LUT row. Cuts per-step gather rows from 3/walker to 2.
         adj_lo = s.lo - (s.lo > dfm.primary).astype(jnp.int32)
         adj_hi = s.hi - (s.hi > dfm.primary).astype(jnp.int32)
-        blk_lo = adj_lo // OCC_BLOCK
-        blk_hi = adj_hi // OCC_BLOCK
+        occ_off = jnp.int32(4**k if k else 0)
+        blk_lo = adj_lo // OCC_BLOCK + occ_off
+        blk_hi = adj_hi // OCC_BLOCK + occ_off
+        if k:
+            slot_lo = jnp.where(fresh, v, blk_lo)
+        else:
+            slot_lo = blk_lo
         occ_rows = jnp.take(
-            dfm.fused_rows, jnp.concatenate([blk_lo, blk_hi]), axis=0
+            dfm.fused_rows, jnp.concatenate([slot_lo, blk_hi]), axis=0
         )
         if k:
-            lut = jnp.take(
-                dfm.lut_pairs, jnp.where(fresh, v, 0), axis=0
-            ).astype(jnp.int32)
-            lut_lo, lut_hi = lut[:, 0], lut[:, 1]
+            lut_lo = occ_rows[:Wn, 0].astype(jnp.int32)
+            lut_hi = occ_rows[:Wn, 1].astype(jnp.int32)
         rel = jnp.concatenate(
-            [adj_lo - blk_lo * OCC_BLOCK, adj_hi - blk_hi * OCC_BLOCK]
+            [adj_lo - (blk_lo - occ_off) * OCC_BLOCK,
+             adj_hi - (blk_hi - occ_off) * OCC_BLOCK]
         )
         r = _occ_from_rows(occ_rows, rel, jnp.concatenate([c_ext, c_ext]))
         C = _counts_of(dfm, c_ext)
