@@ -885,6 +885,12 @@ class AlignEngine:
                     seeds, pallr, plens, pcn,
                     lens1[pb : pb + pcn], lens2[pb : pb + pcn], mmp,
                 )
+                # the overflow fallback above stashes _batch_dev keyed
+                # by id(pallr); once pallr dies, a later chunk's array
+                # can reuse the same address and silently alias the
+                # stale device walker matrix — drop the stash with the
+                # chunk it belongs to
+                self._batch_dev = None
                 if len(hits):
                     hits.read += np.int32(pb)
                 parts.append(hits)

@@ -37,7 +37,7 @@ class DeviceFM:
     compile-time constants.
     """
 
-    def __init__(self, n, primary, bwt_words, fused_rows, lut_pairs,
+    def __init__(self, n, primary, bwt_words, fused_rows,
                  counts, lut_k, mark_words, mark_chk, sa_sampled,
                  sa_interval):
         self.n = n
@@ -45,11 +45,8 @@ class DeviceFM:
         self.bwt_words = bwt_words  # uint32 [n_words]
         # fused uint32 occ row table, one gather launch per rank batch:
         # row b = occ checkpoint (4 counts) || the block's packed BWT
-        # words. The k-mer LUT lives in its own (4^k, 2) pairs table —
-        # at the production LOOKUP_K=13 it would multiply the fused
-        # table 8x (32 B/row for a 2-value payload).
+        # words. The k-mer LUT rows prefix the table (see from_host).
         self.fused_rows = fused_rows
-        self.lut_pairs = lut_pairs  # uint32 [4^k, 2] (lo, hi) rows
         self.counts = counts  # int32 [5]
         self.lut_k = lut_k
         # sampled-SA mark rank as bitmap + 32-row checkpoints: 0.25
@@ -63,7 +60,7 @@ class DeviceFM:
         self.sa_interval = sa_interval
 
     def tree_flatten(self):
-        leaves = (self.bwt_words, self.fused_rows, self.lut_pairs,
+        leaves = (self.bwt_words, self.fused_rows,
                   self.counts, self.mark_words, self.mark_chk,
                   self.sa_sampled)
         aux = (self.n, self.primary, self.lut_k, self.sa_interval)
@@ -72,9 +69,9 @@ class DeviceFM:
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         n, primary, lut_k, sa_interval = aux
-        (bwt_words, fused_rows, lut_pairs, counts, mark_words, mark_chk,
+        (bwt_words, fused_rows, counts, mark_words, mark_chk,
          sa_sampled) = leaves
-        return cls(n, primary, bwt_words, fused_rows, lut_pairs, counts,
+        return cls(n, primary, bwt_words, fused_rows, counts,
                    lut_k, mark_words, mark_chk, sa_sampled, sa_interval)
 
     @classmethod
@@ -118,14 +115,12 @@ class DeviceFM:
             fused = np.concatenate([lut_rows, occ_fused])
         else:
             fused = occ_fused
-        lut_pairs = np.zeros((1, 2), np.uint32)  # folded into fused
         mark_words, mark_chk = pack_mark_rank(fm.mark_rank, int(fm.n))
         return cls(
             n=int(fm.n),
             primary=int(fm.primary),
             bwt_words=put(fm.bwt_words),
             fused_rows=put(fused),
-            lut_pairs=put(lut_pairs),
             counts=put(fm.counts.astype(np.int32)),
             lut_k=int(lut_k),
             mark_words=put(mark_words),

@@ -43,6 +43,14 @@ def genome_coverage(
     seq = np.asarray(seq, dtype=np.int64)
     slen_arr = np.asarray(seq_lens, dtype=np.int64)
     n_seqs = len(slen_arr)
+    # rows with out-of-range seq ids (e.g. accessions absent from the
+    # genome table) contribute no coverage — matching the reference's
+    # per-sequence loop, which simply never visited them
+    in_range = (seq >= 0) & (seq < n_seqs)
+    if not in_range.all():
+        seq = seq[in_range]
+        start = np.asarray(start)[in_range]
+        stop = np.asarray(stop)[in_range]
     live = slen_arr > 0
     # events: +1 at clipped starts, -1 at clipped stops, plus 0-delta
     # sentinels at 0 and slen for every non-empty sequence

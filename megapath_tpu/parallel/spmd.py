@@ -59,7 +59,6 @@ class StackedFM(NamedTuple):
 
     bwt_words: jnp.ndarray  # [S, n_words] uint32
     fused_rows: jnp.ndarray  # [S, R, C] uint32
-    lut_pairs: jnp.ndarray  # [S, 4^k, 2] uint32
     counts: jnp.ndarray  # [S, 5] int32
     mark_words: jnp.ndarray  # [S, ceil((n+1)/32)] uint32 bitmap
     mark_chk: jnp.ndarray  # [S, same] int32 rank checkpoints
@@ -101,7 +100,6 @@ def stack_fms(fms: Sequence[FMIndex]) -> Tuple[StackedFM, FMMeta]:
     stacked = StackedFM(
         bwt_words=jnp.asarray(np.stack([np.asarray(d.bwt_words) for d in dfms])),
         fused_rows=jnp.asarray(np.stack([np.asarray(d.fused_rows) for d in dfms])),
-        lut_pairs=jnp.asarray(np.stack([np.asarray(d.lut_pairs) for d in dfms])),
         counts=jnp.asarray(np.stack([np.asarray(d.counts) for d in dfms])),
         mark_words=jnp.asarray(
             np.stack([np.asarray(d.mark_words) for d in dfms])
@@ -194,12 +192,11 @@ def build_spmd_engine_step(
             primary=primary[0],
             bwt_words=fm_leaves[0][0],
             fused_rows=fm_leaves[1][0],
-            lut_pairs=fm_leaves[2][0],
-            counts=fm_leaves[3][0],
+            counts=fm_leaves[2][0],
             lut_k=meta.lut_k,
-            mark_words=fm_leaves[4][0],
-            mark_chk=fm_leaves[5][0],
-            sa_sampled=fm_leaves[6][0],
+            mark_words=fm_leaves[3][0],
+            mark_chk=fm_leaves[4][0],
+            sa_sampled=fm_leaves[5][0],
             sa_interval=meta.sa_interval,
         )
         ref = ref_local[0]
@@ -350,7 +347,7 @@ def build_spmd_engine_step(
         local_step,
         mesh=mesh,
         in_specs=(
-            (P("shard"),) * 7,  # fm leaves (trailing dims replicated)
+            (P("shard"),) * 6,  # fm leaves (trailing dims replicated)
             P("shard"),  # primary
             P("shard"),  # ref_codes
             P("shard"),  # true_n
@@ -369,7 +366,7 @@ def build_spmd_engine_step(
 
     def step(sfm: StackedFM, ref_codes, true_n, seq_offsets, seq_species,
              reads1, reads2, lens1, lens2):
-        leaves = (sfm.bwt_words, sfm.fused_rows, sfm.lut_pairs,
+        leaves = (sfm.bwt_words, sfm.fused_rows,
                   sfm.counts, sfm.mark_words, sfm.mark_chk,
                   sfm.sa_sampled)
         return SpmdAlignOut(*shmapped(
@@ -397,9 +394,6 @@ def place_spmd_inputs(mesh: Mesh, sfm: StackedFM, **arrays):
         bwt_words=jax.device_put(sfm.bwt_words, shard2),
         fused_rows=jax.device_put(
             sfm.fused_rows, NamedSharding(mesh, P("shard", None, None))
-        ),
-        lut_pairs=jax.device_put(
-            sfm.lut_pairs, NamedSharding(mesh, P("shard", None, None))
         ),
         counts=jax.device_put(sfm.counts, shard2),
         mark_words=jax.device_put(sfm.mark_words, shard2),

@@ -97,7 +97,6 @@ class StackedFMPad(NamedTuple):
 
     bwt_words: jnp.ndarray  # [S, nw_max] uint32
     fused_rows: jnp.ndarray  # [S, R_max, C] uint32
-    lut_pairs: jnp.ndarray  # [S, 4^k, 2] uint32
     counts: jnp.ndarray  # [S, 5] int32
     mark_words: jnp.ndarray  # [S, nm_max] uint32 bitmap
     mark_chk: jnp.ndarray  # [S, nm_max] int32 rank checkpoints
@@ -134,7 +133,6 @@ def stack_fms_exact(fms: Sequence[FMIndex]) -> Tuple[StackedFMPad, FMMetaPad]:
     stacked = StackedFMPad(
         bwt_words=pad_stack([d.bwt_words for d in dfms], np.uint32),
         fused_rows=pad_stack([d.fused_rows for d in dfms], np.uint32),
-        lut_pairs=pad_stack([d.lut_pairs for d in dfms], np.uint32),
         counts=pad_stack([d.counts for d in dfms], np.int32),
         mark_words=pad_stack([d.mark_words for d in dfms], np.uint32),
         mark_chk=pad_stack([d.mark_chk for d in dfms], np.int32),
@@ -151,11 +149,21 @@ class SpmdCaps(NamedTuple):
     pos_factor: int = 16  # decoded SA positions per block
     cand_factor: int = 8  # paired candidates per orientation
     se_factor: int = 4  # single-end DP rows
+    hit_factor: int = 6  # compacted output hit rows
 
 
 class SpmdHits(NamedTuple):
     """Per-(data, shard) block hit table; fields [D, S, H] after the
-    shard_map, matching align.engine.BatchHits columns + valid."""
+    shard_map, matching align.engine.BatchHits columns + valid.
+
+    H is the COMPACTED cap (caps.hit_factor * Bl): valid rows are
+    packed to the front in their original assembly order inside the
+    program, so the per-chip output payload is proportional to real
+    hits (~2-4 rows/pair on matching shards), not to the ~40*Bl
+    internal candidate rows — the grouped-payload bound SCALING.md's
+    ICI math assumes. Row content is untouched (no -top prefilter), so
+    the host tail (SPIKE coverage, merge, retention) sees exactly the
+    rows the host engine produces."""
 
     valid: jnp.ndarray
     read: jnp.ndarray  # local pair index within the data block
@@ -231,12 +239,11 @@ def build_spmd_full_engine(
             primary=primary[0],
             bwt_words=fm_leaves[0][0],
             fused_rows=fm_leaves[1][0],
-            lut_pairs=fm_leaves[2][0],
-            counts=fm_leaves[3][0],
+            counts=fm_leaves[2][0],
             lut_k=meta.lut_k,
-            mark_words=fm_leaves[4][0],
-            mark_chk=fm_leaves[5][0],
-            sa_sampled=fm_leaves[6][0],
+            mark_words=fm_leaves[3][0],
+            mark_chk=fm_leaves[4][0],
+            sa_sampled=fm_leaves[5][0],
             sa_interval=meta.sa_interval,
         )
         ref = ref_local[0]
@@ -625,11 +632,27 @@ def build_spmd_full_engine(
         )
         pairedc = jnp.concatenate([same, same, a_paired, m_same])
 
+        # ---- compact: pack valid rows to the front (stable) ----------
+        # The assembled table is ~40*Bl rows, overwhelmingly invalid;
+        # shipping it whole made the cross-shard payload proportional
+        # to the caps instead of the hits. One stable argsort packs the
+        # valid rows (original order preserved) into a hit_factor*Bl
+        # window — identical row content, ~7x smaller pull.
+        H_cap = caps.hit_factor * Bl
+        Ht = valid.shape[0]
+        n_hits = valid.sum()
+        overflow = jnp.maximum(
+            overflow, (n_hits > H_cap).astype(jnp.int32)
+        )
+        iota_h = jnp.arange(Ht, dtype=jnp.int32)
+        ordr = jnp.argsort(jnp.where(valid, iota_h, Ht + iota_h))[:H_cap]
+        valid = valid[ordr] & (jnp.arange(H_cap) < n_hits)
+
         def out3(a):
-            return a[None, None, :]
+            return a[ordr][None, None, :]
 
         return (
-            out3(valid), out3(readc), out3(endc), out3(seqc),
+            valid[None, None, :], out3(readc), out3(endc), out3(seqc),
             out3(scorec), out3(rawc), out3(startc), out3(stopc),
             out3(strandc), out3(pairedc),
             overflow[None, None],
@@ -639,7 +662,7 @@ def build_spmd_full_engine(
         local_step,
         mesh=mesh,
         in_specs=(
-            (P("shard"),) * 7,
+            (P("shard"),) * 6,
             P("shard"), P("shard"), P("shard"), P("shard"),
             P("data"), P("data"), P("data"), P("data"),
         ),
@@ -651,7 +674,7 @@ def build_spmd_full_engine(
 
     def step(sfm: StackedFMPad, ref_codes, seq_offsets,
              reads1, reads2, lens1, lens2):
-        leaves = (sfm.bwt_words, sfm.fused_rows, sfm.lut_pairs,
+        leaves = (sfm.bwt_words, sfm.fused_rows,
                   sfm.counts, sfm.mark_words, sfm.mark_chk,
                   sfm.sa_sampled)
         out = shmapped(
@@ -661,6 +684,32 @@ def build_spmd_full_engine(
         return SpmdHits(*out)
 
     return jax.jit(step)
+
+
+def place_spmd_full_inputs(mesh: Mesh, sfm: StackedFMPad, ref_codes,
+                           seq_offsets):
+    """device_put the shard-resident step inputs ONCE with their
+    canonical shardings, so per-batch step calls ship only the reads
+    (the pipeline backend calls this at init; re-uploading the shard
+    tables every batch would drown the step in h2d)."""
+    sh2 = NamedSharding(mesh, P("shard", None))
+    sh1 = NamedSharding(mesh, P("shard"))
+    sh3 = NamedSharding(mesh, P("shard", None, None))
+    placed = StackedFMPad(
+        bwt_words=jax.device_put(sfm.bwt_words, sh2),
+        fused_rows=jax.device_put(sfm.fused_rows, sh3),
+        counts=jax.device_put(sfm.counts, sh2),
+        mark_words=jax.device_put(sfm.mark_words, sh2),
+        mark_chk=jax.device_put(sfm.mark_chk, sh2),
+        sa_sampled=jax.device_put(sfm.sa_sampled, sh2),
+        primary=jax.device_put(sfm.primary, sh1),
+        n=jax.device_put(sfm.n, sh1),
+    )
+    return (
+        placed,
+        jax.device_put(jnp.asarray(ref_codes), sh2),
+        jax.device_put(jnp.asarray(seq_offsets), sh2),
+    )
 
 
 def pad_ref_codes(refs: Sequence[np.ndarray]) -> np.ndarray:
@@ -689,7 +738,11 @@ def spmd_hits_to_batch(
 ) -> List["object"]:
     """[D, S, H] device output -> one host BatchHits per SHARD with
     global read indices (read + d * Bl), ready for the existing
-    pipeline tail (_spike_banned/_merge_arrays/_tail)."""
+    pipeline tail (_spike_banned/_merge_arrays/_tail).
+
+    Vectorized: one boolean mask over the [D, H] block per shard —
+    row-major (d-major) flattening preserves the per-data-row order
+    the host path's concat produced."""
     from megapath_tpu.align.engine import BatchHits
 
     o = {f: np.asarray(getattr(out, f)) for f in out._fields}
@@ -698,31 +751,48 @@ def spmd_hits_to_batch(
             "spmd_full cap overflow — raise SpmdCaps factors"
         )
     D, S, H = o["valid"].shape
+    read_g = o["read"] + (
+        np.arange(D, dtype=np.int64) * n_pairs_per_row
+    )[:, None, None]
     hits: List[BatchHits] = []
     for s in range(S):
-        parts = {k: [] for k in ("read", "end", "seq", "score",
-                                 "raw_score", "start", "stop", "strand",
-                                 "paired")}
-        for d in range(D):
-            m = o["valid"][d, s]
-            parts["read"].append(o["read"][d, s][m] + d * n_pairs_per_row)
-            parts["end"].append(o["end"][d, s][m])
-            parts["seq"].append(o["seq"][d, s][m])
-            parts["score"].append(o["score"][d, s][m])
-            parts["raw_score"].append(o["raw_score"][d, s][m])
-            parts["start"].append(o["start"][d, s][m])
-            parts["stop"].append(o["stop"][d, s][m])
-            parts["strand"].append(o["strand"][d, s][m])
-            parts["paired"].append(o["paired"][d, s][m].astype(bool))
+        m = o["valid"][:, s, :].astype(bool)  # [D, H]
         hits.append(BatchHits(
-            read=np.concatenate(parts["read"]).astype(np.int32),
-            end=np.concatenate(parts["end"]).astype(np.int8),
-            seq=np.concatenate(parts["seq"]).astype(np.int32),
-            score=np.concatenate(parts["score"]).astype(np.int32),
-            raw_score=np.concatenate(parts["raw_score"]).astype(np.int32),
-            start=np.concatenate(parts["start"]).astype(np.int64),
-            stop=np.concatenate(parts["stop"]).astype(np.int64),
-            strand=np.concatenate(parts["strand"]).astype(np.int8),
-            paired=np.concatenate(parts["paired"]),
+            read=read_g[:, s, :][m].astype(np.int32),
+            end=o["end"][:, s, :][m].astype(np.int8),
+            seq=o["seq"][:, s, :][m].astype(np.int32),
+            score=o["score"][:, s, :][m].astype(np.int32),
+            raw_score=o["raw_score"][:, s, :][m].astype(np.int32),
+            start=o["start"][:, s, :][m].astype(np.int64),
+            stop=o["stop"][:, s, :][m].astype(np.int64),
+            strand=o["strand"][:, s, :][m].astype(np.int8),
+            paired=o["paired"][:, s, :][m].astype(bool),
         ))
     return hits
+
+
+def spmd_payload_stats(out: SpmdHits, n_pairs_per_row: int) -> dict:
+    """Measured cross-shard merge payload of one step's output: the
+    bytes/pair/shard that actually leave the device (VERDICT r3 #8 —
+    measure, don't assume, the SCALING.md grouped-payload figure).
+
+    Counts the compacted pull as shipped: H_cap rows x 10 int32
+    fields for the static allocation, valid rows for the useful
+    payload."""
+    o_valid = np.asarray(out.valid)
+    D, S, H = o_valid.shape
+    n_rows = int(o_valid.sum())
+    n_pairs = D * n_pairs_per_row
+    bytes_per_row = 10 * 4  # 10 int32 fields incl. valid
+    return {
+        "pairs": n_pairs,
+        "shards": S,
+        "hit_rows": n_rows,
+        "rows_per_pair_per_shard": round(n_rows / max(n_pairs * S, 1), 3),
+        "useful_bytes_per_pair_per_shard": round(
+            n_rows * bytes_per_row / max(n_pairs * S, 1), 1
+        ),
+        "alloc_bytes_per_pair_per_shard": round(
+            D * S * H * bytes_per_row / max(n_pairs * S, 1), 1
+        ),
+    }

@@ -36,6 +36,10 @@ HG_PARAMS = AlignParams(mmp=MmpParams(seed_min_length=22, reseed_len=23))
 NT_PARAMS = AlignParams()
 
 
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 class PipelineAbort(RuntimeError):
     """A stage produced no output: fail the run loudly instead of
     emitting an empty report (runMegaPath.sh:143-146 aborts when the
@@ -61,6 +65,14 @@ class PipelineConfig:
     # ribosome filter (-S): extract threshold 0.95 * pair length
     # (runMegaPath.sh:162, extractFromLSAM.pl fractional -t)
     ribo_cutoff: float = 0.95
+    # route stage 2 (NT alignment) through the one-program SPMD
+    # backend (parallel.spmd_full): all shards align in a single
+    # shard_map step over a (data x shard) mesh instead of the
+    # host-orchestrated per-shard thread-pool dispatch. Requires all
+    # shard FM indexes to share build params; the per-shard hit
+    # tables are row-identical to the host engines', so the shared
+    # tail (SPIKE/merge/reports) is byte-identical either way.
+    spmd: bool = False
 
     @property
     def hg_cutoff(self) -> int:
@@ -135,15 +147,24 @@ class MegaPathPipeline:
         # _align_shards rotates them through the devices in waves
         self._n_devices = len(devs)
         self._wave_shards = bool(devs) and len(nt_shards) > len(devs)
+        self._spmd = None
+        nt_params = NT_PARAMS.with_(top_percentage=self.cfg.top_percentage)
+        if self.cfg.spmd:
+            # the SPMD program holds its own sharded copies of every
+            # shard's tables; the engine objects stay host-only (ref
+            # metadata for SPIKE/merge) and never commit HBM
+            self._init_spmd(nt_shards, devs, nt_params)
         self.nt_engines = [
-            AlignEngine(ref, fm, NT_PARAMS.with_(top_percentage=self.cfg.top_percentage),
-                        device_seeding=self.cfg.device_seeding,
-                        device=devs[i % len(devs)] if devs else None,
-                        lazy_device=self._wave_shards)
+            AlignEngine(ref, fm, nt_params,
+                        device_seeding=self.cfg.device_seeding
+                        and not self.cfg.spmd,
+                        device=devs[i % len(devs)]
+                        if devs and not self.cfg.spmd else None,
+                        lazy_device=self._wave_shards or self.cfg.spmd)
             for i, (ref, fm) in enumerate(nt_shards)
         ]
         self._pool = None
-        if devs and len(nt_shards) > 1:
+        if devs and len(nt_shards) > 1 and not self.cfg.spmd:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(
@@ -634,6 +655,98 @@ class MegaPathPipeline:
             )
         return best
 
+    def _init_spmd(self, nt_shards, devs, nt_params: AlignParams) -> None:
+        """Stage the SPMD backend: (data x shard) mesh, stacked shard
+        FM leaves + padded texts committed with their shardings. Step
+        programs compile lazily per (block, read-width) shape."""
+        import jax
+        from jax.sharding import Mesh
+
+        from megapath_tpu.parallel.spmd_full import (
+            pad_ref_codes,
+            pad_seq_offsets,
+            place_spmd_full_inputs,
+            stack_fms_exact,
+        )
+
+        devices = devs or list(jax.devices())
+        S = len(nt_shards)
+        rows = len(devices) // S
+        if rows == 0:
+            raise ValueError(
+                f"spmd backend needs >= {S} devices for {S} shards "
+                f"(got {len(devices)}); use the host path or fewer shards"
+            )
+        mesh = Mesh(
+            np.array(devices[: rows * S]).reshape(rows, S),
+            axis_names=("data", "shard"),
+        )
+        sfm, meta = stack_fms_exact([fm for _, fm in nt_shards])
+        ref_codes = pad_ref_codes([ref.codes for ref, _ in nt_shards])
+        seq_off = pad_seq_offsets([ref.offsets for ref, _ in nt_shards])
+        sfm, ref_dev, off_dev = place_spmd_full_inputs(
+            mesh, sfm, ref_codes, seq_off
+        )
+        self._spmd = {
+            "mesh": mesh, "meta": meta, "sfm": sfm,
+            "ref_codes": ref_dev, "seq_off": off_dev,
+            "params": nt_params, "steps": {},
+            "payload": None,  # last batch's measured merge payload
+        }
+
+    def _align_shards_spmd(
+        self, reads1, lens1, reads2, lens2, n
+    ) -> List[BatchHits]:
+        """Stage 2 through the one-program SPMD path: ONE shard_map
+        step aligns the batch against every shard concurrently (the
+        reference's sequential cascade, runMegaPath.sh:191-227, as a
+        mesh program); the compacted [D, S, H] output converts to the
+        same per-shard BatchHits the host engines produce."""
+        from megapath_tpu.parallel.spmd_full import (
+            build_spmd_full_engine,
+            spmd_hits_to_batch,
+            spmd_payload_stats,
+        )
+
+        sp = self._spmd
+        mesh = sp["mesh"]
+        D = mesh.shape["data"]
+        L = max(reads1.shape[1], reads2.shape[1])
+        # fixed block grain so repeated batches reuse one compile
+        Bl = max(256, _round_up_int((n + D - 1) // D, 256))
+        B = D * Bl
+
+        def pad2(a, width):
+            out = np.zeros((B, width), np.uint8)
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        def pad1(a):
+            out = np.zeros(B, np.int32)
+            out[: len(a)] = a
+            return out
+
+        r1, r2 = pad2(reads1, L), pad2(reads2, L)
+        l1, l2 = pad1(lens1), pad1(lens2)
+
+        key = (Bl, L)
+        step = sp["steps"].get(key)
+        if step is None:
+            step = build_spmd_full_engine(
+                mesh, sp["meta"], L, params=sp["params"]
+            )
+            sp["steps"][key] = step
+        out = step(sp["sfm"], sp["ref_codes"], sp["seq_off"], r1, r2, l1, l2)
+        per_shard = spmd_hits_to_batch(out, Bl)
+        sp["payload"] = spmd_payload_stats(out, Bl)
+        # pad rows (len 0) emit nothing, but never let one through
+        fields = ("read", "end", "seq", "score", "raw_score", "start",
+                  "stop", "strand", "paired")
+        return [
+            BatchHits(*[getattr(h, f)[h.read < n] for f in fields])
+            for h in per_shard
+        ]
+
     def _align_shards(self, reads1, lens1, reads2, lens2, n) -> List[BatchHits]:
         """Stage 2: NT alignment over all shards.
 
@@ -645,6 +758,8 @@ class MegaPathPipeline:
         sequential shard cascade."""
         if not n:
             return [BatchHits.empty() for _ in self.nt_engines]
+        if self._spmd is not None:
+            return self._align_shards_spmd(reads1, lens1, reads2, lens2, n)
         if self._wave_shards:
             # shard rotation: HBM holds at most n_devices shards at a
             # time; each wave commits its shards, aligns concurrently,

@@ -138,6 +138,44 @@ def test_full_engine_hits_match_host_engine(small_world):
         )
 
 
+def test_pipeline_spmd_backend_cascade_byte_identical(mini_taxdb):
+    """MegaPathPipeline(config.spmd=True) routes stage 2 through the
+    one-program SPMD path and still reproduces the reference cascade's
+    Kraken report byte for byte — the backend is selectable from the
+    production driver, not just the bare program."""
+    from megapath_tpu.index.fm import build_fm_index
+    from megapath_tpu.index.pack import pack_fasta
+    from megapath_tpu.io.fastq import read_fastx, trim_readno
+    from megapath_tpu.pipeline import MegaPathPipeline, PipelineConfig
+
+    def pack(p):
+        ref = pack_fasta(list(read_fastx(p)))
+        fm = build_fm_index(ref.codes, sa_interval=8, lut_k=8)
+        return ref, fm
+
+    nt = [pack(CAS / "shard0.fa"), pack(CAS / "shard1.fa")]
+    recs1 = list(read_fastx(CAS / "r1.fq"))
+    recs2 = list(read_fastx(CAS / "r2.fq"))
+    for r in recs1 + recs2:
+        r.name = trim_readno(r.name)
+
+    cfg = PipelineConfig(
+        read_len=80, max_read_len=80, skip_preprocess=True,
+        skip_human=True, spmd=True,
+    )
+    pipe = MegaPathPipeline(nt, mini_taxdb, config=cfg)
+    res = pipe.run_records(recs1, recs2)
+
+    golden = (CAS / "cascade.report").read_text()
+    assert res.report == golden
+    # the measured cross-shard merge payload is recorded per batch
+    stats = pipe._spmd["payload"]
+    assert stats is not None and stats["hit_rows"] > 0
+    # grouped-payload bound: ~4 rows/pair/shard, not the ~40 internal
+    # candidate rows (SCALING.md ICI math)
+    assert stats["rows_per_pair_per_shard"] < 8
+
+
 def test_full_engine_cascade_report_byte_identical(mini_taxdb):
     """SPMD hits + the shared pipeline tail reproduce the reference
     cascade's Kraken report byte for byte."""
