@@ -71,6 +71,8 @@ def _cmd_run(args) -> int:
         skip_preprocess=args.adapters is None and args.skip_preprocess,
         device_seeding=not args.no_device_seeding,
         batch_size=args.batch_size,
+        bam=args.bam,
+        spmd=args.spmd,
     )
     devices = None
     if args.devices:
@@ -430,6 +432,14 @@ def main(argv=None) -> int:
                         "devices (0 = single device)")
     r.add_argument("--batch-size", type=int, default=500_000,
                    help="streaming read-pair batch size (SOAP4.cpp:206)")
+    r.add_argument("-b", "--bam", action="store_true",
+                   help="emit per-shard BAMs + merged/sorted "
+                        "PREFIX.nt.bam (soap4 -b -o + samtools, "
+                        "runMegaPath.sh:199-216)")
+    r.add_argument("--spmd", action="store_true",
+                   help="route NT alignment through the one-program "
+                        "shard_map backend (parallel.spmd_full) over a "
+                        "(data x shard) device mesh")
     r.set_defaults(fn=_cmd_run)
 
     p = sub.add_parser("report", help="LSAM.id -> Kraken report")

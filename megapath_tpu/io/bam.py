@@ -302,6 +302,35 @@ def sort_sam_lines(header_text: str, sam_lines: List[str]) -> List[str]:
     return [l for _, l in sorted(enumerate(sam_lines), key=lambda x: key(x))]
 
 
+def merge_shard_bams(fileobjs, out_fileobj) -> None:
+    """samtools-merge equivalent for PER-SHARD BAMs with DIFFERENT
+    reference sets (the cascade's nt.bam.* files cover disjoint shard
+    sequences, runMegaPath.sh:211-216): the output header is the @SQ
+    concatenation in input order (first wins on duplicate SN) and the
+    records re-sort by coordinate under the union ordering."""
+    sq_lines: List[str] = []
+    seen = set()
+    other: List[str] = []
+    all_lines: List[str] = []
+    for f in fileobjs:
+        h, lines = read_bam(f)
+        for l in h.splitlines():
+            if l.startswith("@SQ"):
+                d = dict(
+                    x.split(":", 1) for x in l.split("\t")[1:] if ":" in x
+                )
+                if d.get("SN") not in seen:
+                    seen.add(d.get("SN"))
+                    sq_lines.append(l)
+            elif not other or l not in other:
+                other.append(l)
+        all_lines.extend(lines)
+    hd = [l for l in other if l.startswith("@HD")]
+    rest = [l for l in other if not l.startswith("@HD")]
+    header = "\n".join(hd + sq_lines + rest) + "\n"
+    write_bam(out_fileobj, header, sort_sam_lines(header, all_lines))
+
+
 def merge_bams(fileobjs, out_fileobj) -> None:
     """samtools merge equivalent for the per-shard ``-b`` BAMs
     (runMegaPath.sh shard outputs): headers must agree on @SQ lines;

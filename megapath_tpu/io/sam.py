@@ -23,7 +23,7 @@ import numpy as np
 
 from megapath_tpu.align.engine import BatchHits
 from megapath_tpu.index.pack import COMPLEMENT, PackedReference, decode_seq
-from megapath_tpu.ops.dp import DPParams, sw_traceback
+from megapath_tpu.ops.dp import DPParams
 
 FLAG_PAIRED = 0x1
 FLAG_PROPER = 0x2
@@ -161,58 +161,83 @@ def hits_to_sam(
             for e, (x0, x1) in stats.items():
                 primary_mapq[(r, e)] = bwa_single_mapq(x0, x1)
 
-    for (r, e), rows in by_read_end.items():
+    # emit plan: (r, e, rank, idx) per line, caps applied up front so
+    # the CIGAR tracebacks batch into ONE vectorized call over all
+    # emitted hits (sw_traceback_batch) instead of a per-hit Python DP
+    plan = [
+        (r, e, rank, idx)
+        for (r, e), rows in by_read_end.items()
+        for rank, idx in enumerate(rows[: 1 + max_secondary])
+    ]
+    cigars: Optional[List[str]] = None
+    if with_cigar and plan:
+        from megapath_tpu.ops.dp import sw_traceback_batch
+
+        n = len(plan)
+        rls = np.array(
+            [int((lens1 if e == 0 else lens2)[r]) for r, e, _, _ in plan],
+            np.int64,
+        )
+        spans = np.array(
+            [int(hits.stop[idx] - hits.start[idx]) for _, _, _, idx in plan],
+            np.int64,
+        )
+        Rm, Wm = int(rls.max()), int(spans.max())
+        b_reads = np.zeros((n, Rm), np.uint8)
+        b_wins = np.full((n, Wm), 255, np.uint8)  # never matches a code
+        for k, (r, e, _, idx) in enumerate(plan):
+            reads = reads1 if e == 0 else reads2
+            codes = reads[r, : rls[k]]
+            if int(hits.strand[idx]):
+                codes = COMPLEMENT[codes[::-1]]
+            b_reads[k, : rls[k]] = codes
+            w0 = int(hits.start[idx])
+            b_wins[k, : spans[k]] = ref.codes[w0 : w0 + spans[k]]
+        _, sjs, cores, _ = sw_traceback_batch(
+            b_reads, b_wins, spans, rls, params
+        )
+        cigars = [
+            (f"{int(sj)}S" if int(sj) else "") + core
+            for sj, core in zip(sjs, cores)
+        ]
+
+    for k, (r, e, rank, idx) in enumerate(plan):
         reads = reads1 if e == 0 else reads2
         lens = lens1 if e == 0 else lens2
         quals = quals1 if e == 0 else quals2
         rl = int(lens[r])
         codes = reads[r, :rl]
         qual = quals[r] if quals is not None else "I" * rl
-        for rank, idx in enumerate(rows[: 1 + max_secondary]):
-            strand = int(hits.strand[idx])
-            seq_idx = int(hits.seq[idx])
-            local_start = int(hits.start[idx] - ref.offsets[seq_idx])
-            flag = FLAG_PAIRED | (FLAG_READ1 if e == 0 else FLAG_READ2)
-            if strand:
-                flag |= FLAG_REVERSE
-            if hits.paired[idx]:
-                flag |= FLAG_PROPER
-            if rank > 0:
-                flag |= FLAG_SECONDARY
+        strand = int(hits.strand[idx])
+        seq_idx = int(hits.seq[idx])
+        local_start = int(hits.start[idx] - ref.offsets[seq_idx])
+        flag = FLAG_PAIRED | (FLAG_READ1 if e == 0 else FLAG_READ2)
+        if strand:
+            flag |= FLAG_REVERSE
+        if hits.paired[idx]:
+            flag |= FLAG_PROPER
+        if rank > 0:
+            flag |= FLAG_SECONDARY
 
-            oriented = COMPLEMENT[codes[::-1]] if strand else codes
-            cigar = f"{rl}M"
-            pos = local_start
-            if with_cigar:
-                span = int(hits.stop[idx] - hits.start[idx])
-                w0 = int(hits.start[idx])
-                window = ref.codes[w0 : w0 + span]
-                try:
-                    si, sj, core, _ = sw_traceback(
-                        oriented, window, span, rl, params
-                    )
-                    pre = sj
-                    post = rl - rl  # traceback consumed up to end_read=rl
-                    cigar = (f"{pre}S" if pre else "") + core
-                except Exception:
-                    cigar = f"{rl}M"
-            mapq = primary_mapq[(r, e)] if rank == 0 else 0
-            yield "\t".join(
-                [
-                    names[r],
-                    str(flag),
-                    ref.names[seq_idx],
-                    str(pos + 1),  # SAM is 1-based
-                    str(mapq),
-                    cigar,
-                    "*",
-                    "0",
-                    "0",
-                    decode_seq(oriented),
-                    qual if not strand else qual[::-1],
-                    f"AS:i:{int(hits.raw_score[idx])}",
-                ]
-            )
+        oriented = COMPLEMENT[codes[::-1]] if strand else codes
+        cigar = cigars[k] if cigars is not None else f"{rl}M"
+        mapq = primary_mapq[(r, e)] if rank == 0 else 0
+        yield "\t".join(
+            [
+                names[r],
+                str(flag),
+                ref.names[seq_idx],
+                str(local_start + 1),  # SAM is 1-based
+                str(mapq),
+                cigar,
+                "*",
+                "0",
+                "0",
+                decode_seq(oriented),
+                qual if not strand else qual[::-1],
+                f"AS:i:{int(hits.raw_score[idx])}",
+            ]
+        )
 
 
 def write_sam(

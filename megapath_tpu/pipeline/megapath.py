@@ -65,6 +65,10 @@ class PipelineConfig:
     # ribosome filter (-S): extract threshold 0.95 * pair length
     # (runMegaPath.sh:162, extractFromLSAM.pl fractional -t)
     ribo_cutoff: float = 0.95
+    # emit per-shard BAM alignments + the merged/sorted PREFIX.nt.bam,
+    # like the reference's soap4 -b -o + samtools merge/sort
+    # (runMegaPath.sh:199-216); CIGARs come from the batched traceback
+    bam: bool = False
     # route stage 2 (NT alignment) through the one-program SPMD
     # backend (parallel.spmd_full): all shards align in a single
     # shard_map step over a (data x shard) mesh instead of the
@@ -320,7 +324,8 @@ class MegaPathPipeline:
                             return
                         try:
                             (bi, recs1, recs2, best_b, brows, bspk,
-                             bcounters, base_before, base_after) = item
+                             bcounters, base_before, base_after,
+                             bsam) = item
                             for rec in self._build_lsam_records(
                                 recs1, recs2,
                                 np.ones(base_after - base_before, bool),
@@ -328,6 +333,12 @@ class MegaPathPipeline:
                             ):
                                 lsam_out.write(rec.to_line() + "\n")
                             lsam_out.flush()
+                            if bsam is not None:
+                                # per-(shard, batch) SAM line files; the
+                                # BAM finalize sorts + merges them after
+                                # the align stage (samtools merge/sort,
+                                # runMegaPath.sh:211-216)
+                                self._write_batch_sam(bdir, bi, *bsam)
                             save = dict(
                                 read=brows[0] + base_before, end=brows[1],
                                 sp=brows[2], sk=brows[3], score=brows[4],
@@ -395,10 +406,19 @@ class MegaPathPipeline:
                     read, end, sp, sk, score, best_b = self._merge_arrays(
                         per_shard, n_ribo
                     )
+                    bsam = None
+                    if cfg.bam:
+                        bsam = (
+                            per_shard,
+                            [r.name for r in recs1],
+                            reads1, lens1, reads2, lens2,
+                            [r.qual for r in recs1],
+                            [r.qual for r in recs2],
+                        )
                     wq.put((
                         bi, recs1, recs2, best_b,
                         (read, end, sp, sk, score), bspk, bcounters,
-                        base, base + n_ribo,
+                        base, base + n_ribo, bsam,
                     ))
                     acc_rows.append(
                         (read + base, end, sp, sk, score)
@@ -447,6 +467,9 @@ class MegaPathPipeline:
                  save_kw[f"spk{si}_start"], save_kw[f"spk{si}_stop"])
                 for si in range(len(self.nt_engines))
             ]
+            if cfg.bam:
+                with timer.stage("bam"):
+                    self._finalize_bam(bdir, out_prefix)
             with open(out_prefix + ".align.done", "w") as f:
                 f.write("ok\n")
             # the stage gate supersedes the per-batch journal; drop it
@@ -522,6 +545,57 @@ class MegaPathPipeline:
             spike_removed=len(banned),
             n_after_ribo=int(counters[3]),
         )
+
+    def _write_batch_sam(
+        self, bdir: str, bi: int, per_shard, names,
+        reads1, lens1, reads2, lens2, quals1, quals2,
+    ) -> None:
+        """One batch's per-shard SAM alignment lines (writer thread)."""
+        from megapath_tpu.io.sam import hits_to_sam
+
+        for si, hits in enumerate(per_shard):
+            path = os.path.join(bdir, f"sam{si}_{bi:06d}.txt")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                if len(hits):
+                    for line in hits_to_sam(
+                        hits, self.nt_engines[si].ref, names,
+                        reads1, lens1, reads2, lens2,
+                        quals1=quals1, quals2=quals2,
+                    ):
+                        f.write(line + "\n")
+            os.replace(tmp, path)
+
+    def _finalize_bam(self, bdir: str, out_prefix: str) -> None:
+        """Per-shard sorted BAMs + the merged PREFIX.nt.bam (the
+        samtools merge/sort tail, runMegaPath.sh:211-216)."""
+        import glob
+
+        from megapath_tpu.io.bam import (
+            merge_shard_bams,
+            sort_sam_lines,
+            write_bam,
+        )
+        from megapath_tpu.io.sam import sam_header
+
+        shard_paths = []
+        for si in range(len(self.nt_engines)):
+            lines: List[str] = []
+            for p in sorted(glob.glob(os.path.join(bdir, f"sam{si}_*.txt"))):
+                with open(p) as f:
+                    lines.extend(l.rstrip("\n") for l in f if l.strip())
+            header = sam_header(self.nt_engines[si].ref)
+            sp = f"{out_prefix}.nt.bam.{si}"
+            with open(sp, "wb") as f:
+                write_bam(f, header, sort_sam_lines(header, lines))
+            shard_paths.append(sp)
+        with open(out_prefix + ".nt.bam", "wb") as fo:
+            fhs = [open(p, "rb") for p in shard_paths]
+            try:
+                merge_shard_bams(fhs, fo)
+            finally:
+                for f in fhs:
+                    f.close()
 
     def _assembly_stage(
         self, r1_path, r2_path, out_prefix: str, megahit_bin: Optional[str],

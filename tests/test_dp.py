@@ -148,3 +148,46 @@ def test_threshold_semantics():
 
     assert max(0.2 * 100, 30) == 30
     assert max(0.2 * 200, 30) == 40
+
+
+def test_traceback_batch_matches_scalar():
+    """sw_traceback_batch reproduces sw_traceback per hit exactly —
+    mixed clean/mutated/indel/junk reads over random windows."""
+    from megapath_tpu.ops.dp import sw_traceback, sw_traceback_batch
+
+    rng = np.random.default_rng(99)
+    B, R, W = 64, 60, 96
+    reads = np.zeros((B, R), np.uint8)
+    wins = np.zeros((B, W), np.uint8)
+    er = np.zeros(B, np.int64)
+    ej = np.zeros(B, np.int64)
+    for b in range(B):
+        win = _rand(W, rng)
+        kind = b % 4
+        if kind == 0:  # clean substring
+            read = win[10 : 10 + R].copy()
+        elif kind == 1:  # mismatches
+            read = win[5 : 5 + R].copy()
+            for _ in range(4):
+                q = int(rng.integers(0, R))
+                read[q] = (read[q] + 1 + rng.integers(0, 3)) % 4
+        elif kind == 2:  # deletion in read
+            read = np.concatenate([win[8:38], win[41 : 41 + R - 30]])
+        else:  # junk
+            read = _rand(R, rng)
+        reads[b] = read[:R]
+        wins[b] = win
+        from megapath_tpu.ops.dp import sw_align_oracle
+
+        _, ei_, ej_ = sw_align_oracle(reads[b], win)
+        # traceback both from the optimum and from the corner (the SAM
+        # path starts at (span, read_len))
+        er[b], ej[b] = (ei_, ej_) if b % 2 == 0 else (W, R)
+    bsr, bsj, bcig, bed = sw_traceback_batch(reads, wins, er, ej)
+    for b in range(B):
+        si, sj, cig, ed = sw_traceback(
+            reads[b], wins[b], int(er[b]), int(ej[b])
+        )
+        assert (int(bsr[b]), int(bsj[b]), bcig[b], int(bed[b])) == (
+            si, sj, cig, ed
+        ), f"hit {b}: {(int(bsr[b]), int(bsj[b]), bcig[b], int(bed[b]))} != {(si, sj, cig, ed)}"

@@ -322,3 +322,58 @@ def test_run_files_resumes_from_batch_journal(world, tmp_path):
     lines = (tmp_path / "jr.nt.lsam.id").read_text().splitlines()
     assert lines == [rec.to_line() for rec in want.lsam_id]
     assert not bdir.exists()  # journal dropped once the stage gate lands
+
+
+def test_run_files_bam_output(world, tmp_path):
+    """--bam wiring: run_files(config.bam=True) writes per-shard BAMs
+    plus the merged/sorted PREFIX.nt.bam (runMegaPath.sh:199-216).
+    Records round-trip io.bam and CIGARs come from the real batched
+    traceback (full-match reads -> full-length M runs covering the
+    read; coordinate-sorted within the merged file)."""
+    import re
+
+    from megapath_tpu.io.bam import read_bam
+
+    shard0, shard1, hg_shard, seqs, db = world
+    rng = np.random.default_rng(17)
+    cfg = PipelineConfig(
+        read_len=80, skip_preprocess=True, batch_size=6, bam=True
+    )
+    pipe = MegaPathPipeline([shard0, shard1], db, config=cfg)
+
+    r1, r2 = [], []
+    for key, n in [
+        ("NC_000913.1 Escherichia coli K-12", 7),
+        ("NC_045512.1 SARS-CoV-2", 6),
+    ]:
+        a, b = _pairs_from(seqs, key, rng, n)
+        r1 += a
+        r2 += b
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    _write_fastq(r1, p1)
+    _write_fastq(r2, p2)
+    pipe.run_files(str(p1), str(p2), str(tmp_path / "bm"))
+
+    for si in range(2):
+        assert (tmp_path / f"bm.nt.bam.{si}").exists()
+    with open(tmp_path / "bm.nt.bam", "rb") as f:
+        header, lines = read_bam(f)
+    assert "@SQ\tSN:NC_000913.1" in header and "@SQ\tSN:NC_045512.1" in header
+    assert len(lines) >= 2 * len(r1)  # every planted pair aligned, 2 ends
+    order = {}
+    for l in header.splitlines():
+        if l.startswith("@SQ"):
+            d = dict(x.split(":", 1) for x in l.split("\t")[1:])
+            order[d["SN"]] = len(order)
+    prev = (-1, -1)
+    for line in lines:
+        c = line.split("\t")
+        rid, pos = order[c[2]], int(c[3])
+        assert (rid, pos) >= prev, "merged BAM must be coordinate-sorted"
+        prev = (rid, pos)
+        # planted exact reads: CIGAR ops must consume the read length
+        consumed = sum(
+            int(num) for num, op in re.findall(r"(\d+)([MIS])", c[5])
+        )
+        assert consumed == 80, f"CIGAR {c[5]} does not cover the read"
+        assert int(c[3]) >= 1
