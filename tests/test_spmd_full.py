@@ -46,8 +46,10 @@ def _hit_set(hits):
     }
 
 
-def _run_spmd(refs, fms, reads1, reads2, lens, params, L):
+def _run_spmd(refs, fms, reads1, reads2, lens, params, L, caps=None,
+              lens2=None):
     from megapath_tpu.parallel.spmd_full import (
+        SpmdCaps,
         build_spmd_full_engine,
         pad_ref_codes,
         pad_seq_offsets,
@@ -57,10 +59,13 @@ def _run_spmd(refs, fms, reads1, reads2, lens, params, L):
 
     sfm, meta = stack_fms_exact(fms)
     mesh = _mesh(len(fms))
-    step = build_spmd_full_engine(mesh, meta, L, params=params)
+    step = build_spmd_full_engine(
+        mesh, meta, L, params=params, caps=caps or SpmdCaps()
+    )
     ref_codes = pad_ref_codes([r.codes for r in refs])
     seq_off = pad_seq_offsets([r.offsets for r in refs])
-    out = step(sfm, ref_codes, seq_off, reads1, reads2, lens, lens)
+    out = step(sfm, ref_codes, seq_off, reads1, reads2, lens,
+               lens if lens2 is None else lens2)
     Bl = reads1.shape[0] // mesh.shape["data"]
     return spmd_hits_to_batch(out, Bl)
 
@@ -257,3 +262,89 @@ def test_full_engine_cascade_report_byte_identical(mini_taxdb):
         )
         got[(c[0], c[1])] = (int(float(c[2])), hits)
     assert got == want
+
+
+def test_spmd_full_wide_fixture_hit_parity():
+    """The one-program path reproduces the host engine's hit tables on
+    the WIDE fixture's adversarial read classes (indels, Ns, 151 bp
+    truncation semantics, junk) — the same breadth the host parity
+    suite runs against the reference soap4 golden."""
+    from megapath_tpu.align import AlignEngine
+    from megapath_tpu.index.fm import build_fm_index
+    from megapath_tpu.index.pack import pack_fasta_file, pack_reads
+    from megapath_tpu.parallel.spmd_full import SpmdCaps
+
+    WIDE = FIX / "wide"
+    from megapath_tpu.io.fastq import read_fastx
+
+    ref = pack_fasta_file(WIDE / "genome.fa")
+    fm = build_fm_index(ref.codes, sa_interval=8, lut_k=8)
+    params = AlignParams()
+    L = 150  # soap4 -L 151 truncation semantics (QueryParser.cpp:188)
+
+    r1 = list(read_fastx(WIDE / "r1.fq"))
+    r2 = list(read_fastx(WIDE / "r2.fq"))
+    # stride-sample: classes are block-ordered, every 4th pair keeps
+    # all six classes while the CPU-mesh compile stays affordable
+    idx = list(range(0, len(r1), 4))
+    reads1, lens1 = pack_reads([r1[i].seq[:L] for i in idx], L)
+    reads2, lens2 = pack_reads([r2[i].seq[:L] for i in idx], L)
+
+    import jax
+
+    D = len(jax.devices())  # one shard -> all devices on the data axis
+    n = len(idx)
+    B = ((n + D - 1) // D) * D
+    if B != n:
+        pad = B - n
+        reads1 = np.concatenate([reads1, np.zeros((pad, L), np.uint8)])
+        reads2 = np.concatenate([reads2, np.zeros((pad, L), np.uint8)])
+        lens1 = np.concatenate([lens1, np.zeros(pad, lens1.dtype)])
+        lens2 = np.concatenate([lens2, np.zeros(pad, lens2.dtype)])
+
+    spmd_hits = _run_spmd(
+        [ref], [fm], reads1, reads2, lens1, params, L,
+        caps=SpmdCaps(pos_factor=64, cand_factor=16, se_factor=8,
+                      hit_factor=12),
+        lens2=lens2,
+    )[0]
+    keep = spmd_hits.read < n
+    got = {
+        (int(r), int(e), int(q), int(s), int(rw), int(a), int(b),
+         int(st), bool(p))
+        for k, (r, e, q, s, rw, a, b, st, p) in enumerate(zip(
+            spmd_hits.read, spmd_hits.end, spmd_hits.seq,
+            spmd_hits.score, spmd_hits.raw_score, spmd_hits.start,
+            spmd_hits.stop, spmd_hits.strand, spmd_hits.paired,
+        ))
+        if keep[k]
+    }
+
+    engine = AlignEngine(ref, fm, params)
+    want = _hit_set(engine.align_pairs(
+        reads1[:n], lens1[:n], reads2[:n], lens2[:n]
+    ))
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+
+
+def test_spmd_full_hg_params_hit_parity(small_world):
+    """hg-stage params (seed_min_length=22/reseed_len=23, the human
+    filter's soap4.ini) through the one-program path == host engine."""
+    from megapath_tpu.align import AlignEngine
+    from megapath_tpu.pipeline.megapath import HG_PARAMS
+
+    refs, fms, texts = small_world
+    L, B = 80, 16
+    reads1, reads2, lens = _planted_reads(texts, B, L=L, seed=9)
+
+    spmd_hits = _run_spmd(refs, fms, reads1, reads2, lens, HG_PARAMS, L)
+    for s, (ref, fm) in enumerate(zip(refs, fms)):
+        engine = AlignEngine(ref, fm, HG_PARAMS)
+        want = _hit_set(engine.align_pairs(reads1, lens, reads2, lens))
+        got = _hit_set(spmd_hits[s])
+        assert got == want, (
+            f"shard {s}: missing={sorted(want - got)[:5]} "
+            f"extra={sorted(got - want)[:5]}"
+        )
