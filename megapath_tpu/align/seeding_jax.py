@@ -88,10 +88,22 @@ class DeviceFM:
         wpb = OCC_BLOCK // WORD_CHARS
         words2d = fm.bwt_words.reshape(-1, wpb)
         n_blocks = fm.occ.shape[0] - 1
-        occ_fused = np.zeros((n_blocks + 1, 4 + wpb), dtype=np.uint32)
+        # PAIRED-block rows: row b = occ checkpoint of block b || the
+        # packed words of blocks b AND b+1 (4 + 2*wpb cols). Once a
+        # walker's interval narrows below OCC_BLOCK (true after ~5
+        # chars; ~95% of all lockstep steps) lo and hi land within the
+        # same paired row, so ONE cold HBM fetch serves both rank
+        # queries — on HBM-resident production tables the per-row
+        # gather latency (~17 ns, tools/step_ablate.py) dominates the
+        # walk, and this halves the cold rows per step. Costs 2x the
+        # words per row (0.625 B/char total) — latency, not bytes, is
+        # the wall.
+        occ_fused = np.zeros((n_blocks + 1, 4 + 2 * wpb), dtype=np.uint32)
         occ_fused[:, :4] = fm.occ.astype(np.uint32)
         m = min(n_blocks, words2d.shape[0])
-        occ_fused[:m, 4:] = words2d[:m]
+        occ_fused[:m, 4 : 4 + wpb] = words2d[:m]
+        m2 = min(n_blocks + 1, max(words2d.shape[0] - 1, 0))
+        occ_fused[:m2, 4 + wpb :] = words2d[1 : m2 + 1]
         if lut_k:
             # The k-mer LUT lives IN the fused table, as rows [0, 4^k)
             # BEFORE the occ blocks (occ block b at row 4^k + b, a
@@ -109,7 +121,7 @@ class DeviceFM:
             rev = np.zeros_like(keys)
             for t in range(lut_k):
                 rev |= ((keys >> (2 * t)) & 3) << (2 * (lut_k - 1 - t))
-            lut_rows = np.zeros((4**lut_k, 4 + wpb), dtype=np.uint32)
+            lut_rows = np.zeros((4**lut_k, 4 + 2 * wpb), dtype=np.uint32)
             lut_rows[:, 0] = fm.lut_lo.astype(np.uint32)[rev]
             lut_rows[:, 1] = fm.lut_hi.astype(np.uint32)[rev]
             fused = np.concatenate([lut_rows, occ_fused])
@@ -184,7 +196,11 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def _occ_from_rows(
     rows: jnp.ndarray, rel: jnp.ndarray, c: jnp.ndarray
 ) -> jnp.ndarray:
-    """In-block rank from pre-gathered fused rows (occ4 || words)."""
+    """In-row rank from pre-gathered fused rows (occ4 || words).
+
+    Row width is generic: paired-block rows carry 2*wpb words, so
+    ``rel`` may range over [0, 2*OCC_BLOCK) when the caller's rank
+    target lands in the row's second block."""
     four = jnp.arange(4, dtype=jnp.int32)[None, :]
     base = jnp.sum(
         jnp.where(four == c[:, None], rows[:, :4], jnp.uint32(0)), axis=1
@@ -193,7 +209,7 @@ def _occ_from_rows(
     pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[:, None]
     x = ~(w ^ pat)
     m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
-    wpb = OCC_BLOCK // WORD_CHARS
+    wpb = rows.shape[1] - 4
     char_base = (jnp.arange(wpb, dtype=jnp.int32) * WORD_CHARS)[None, :]
     k = jnp.clip(rel[:, None] - char_base, 0, WORD_CHARS)  # chars to keep
     kk = jnp.minimum(k, WORD_CHARS - 1).astype(jnp.uint32)
@@ -559,21 +575,37 @@ def device_mmp_seed(
         occ_off = jnp.int32(4**k if k else 0)
         blk_lo = adj_lo // OCC_BLOCK + occ_off
         blk_hi = adj_hi // OCC_BLOCK + occ_off
+        # Narrow intervals (hi - lo < OCC_BLOCK) land inside the two
+        # blocks the PAIRED row at blk_lo covers: the hi-slot gather
+        # redirects to row 0 (cache-hot LUT region) and hi's rank
+        # comes from lo's row — killing the second cold HBM fetch for
+        # ~95% of lockstep steps (fresh walkers need no occ at all,
+        # so theirs redirects too). On HBM-resident production tables
+        # the per-row gather latency dominates the walk.
+        near = (adj_hi - adj_lo) < OCC_BLOCK
+        use_lo_row = near | fresh
+        slot_hi = jnp.where(use_lo_row, 0, blk_hi)
         if k:
             slot_lo = jnp.where(fresh, v, blk_lo)
         else:
             slot_lo = blk_lo
         occ_rows = jnp.take(
-            dfm.fused_rows, jnp.concatenate([slot_lo, blk_hi]), axis=0
+            dfm.fused_rows, jnp.concatenate([slot_lo, slot_hi]), axis=0
         )
+        rows_lo = occ_rows[:Wn]
+        rows_hi = jnp.where(use_lo_row[:, None], rows_lo, occ_rows[Wn:])
         if k:
-            lut_lo = occ_rows[:Wn, 0].astype(jnp.int32)
-            lut_hi = occ_rows[:Wn, 1].astype(jnp.int32)
+            lut_lo = rows_lo[:, 0].astype(jnp.int32)
+            lut_hi = rows_lo[:, 1].astype(jnp.int32)
+        hi_base = jnp.where(use_lo_row, blk_lo, blk_hi)
         rel = jnp.concatenate(
             [adj_lo - (blk_lo - occ_off) * OCC_BLOCK,
-             adj_hi - (blk_hi - occ_off) * OCC_BLOCK]
+             adj_hi - (hi_base - occ_off) * OCC_BLOCK]
         )
-        r = _occ_from_rows(occ_rows, rel, jnp.concatenate([c_ext, c_ext]))
+        r = _occ_from_rows(
+            jnp.concatenate([rows_lo, rows_hi]), rel,
+            jnp.concatenate([c_ext, c_ext]),
+        )
         C = _counts_of(dfm, c_ext)
         b_lo = C + r[:Wn]
         b_hi = C + r[Wn:]

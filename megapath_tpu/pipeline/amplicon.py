@@ -456,7 +456,15 @@ class AmpliconPipeline:
                 if hap == window:
                     continue
                 cnt = int(counts[hj])
-                if cnt < max(2, cfg.min_allele_frac * total):
+                # window-level support is only a weak >=2-read gate:
+                # reads overlapping just the window edge tie between
+                # ref and alt haplotypes (argmax -> ref) and inflate
+                # ``total``, so a window-level FRACTION gate starves
+                # real alleles (a 0.3-AF alt can hold <0.2 of the
+                # window's scored reads). The allele-fraction test
+                # happens at the SITE level below, over reads that
+                # actually cover the locus.
+                if cnt < 2:
                     continue
                 for vpos, vref, valt in _hap_variants(
                     window, hap, self.target_engine.params
@@ -495,9 +503,17 @@ class AmpliconPipeline:
         with_spans: bool = False,
     ):
         rows = np.flatnonzero(ok & (hits.start < w1) & (hits.stop > w0))
+        # subsample EVENLY when over the cap: hit rows are read-id
+        # ordered, so a head slice would silently drop whole read
+        # subpopulations (low-AF alleles, later library halves) from
+        # the window evidence — an even stride keeps every allele's
+        # support proportional
+        cap = 96
+        if len(rows) > cap:
+            rows = rows[np.round(np.linspace(0, len(rows) - 1, cap)).astype(int)]
         out = []
         spans = []
-        for i in rows[:64]:
+        for i in rows:
             r = int(hits.read[i])
             e = int(hits.end[i])
             strand = int(hits.strand[i])

@@ -213,3 +213,113 @@ def test_variant_caller_planted_truth_recall_precision(amp_world, tmp_path):
         pathlib.Path(__file__).parent / "fixtures" / "amplicon_planted.vcf"
     ).read_text()
     assert buf.getvalue() == golden
+
+
+def test_variant_caller_multiallelic_and_low_af_near_indel(amp_world):
+    """Extended planted fixture (GATK comparison is unobtainable in
+    this environment — no java/gatk; see ROUND4_NOTES.md): a
+    multi-allelic SNP site (two alts at ~0.3 AF each) and a low-AF
+    (0.25) haplotype carrying a 3 bp deletion with a het SNP 10 bp
+    downstream. All four alleles must be called with sane AFs."""
+    tb_pack = amp_world[0]
+    tb = amp_world[2]
+    rng = np.random.default_rng(31)
+
+    ma_at = 1200
+    del_at = 2000
+    near_at = 2010  # SNP 10 bp downstream of the deletion, same allele
+
+    def with_snp(codes, pos, delta):
+        out = codes.copy()
+        out[pos] = (out[pos] + delta) % 4
+        return out
+
+    al1 = with_snp(tb, ma_at, 1)
+    al2 = with_snp(tb, ma_at, 2)
+    al3 = np.concatenate([tb[:del_at], tb[del_at + 3 :]])
+    al3[near_at - 3] = (al3[near_at - 3] + 1) % 4  # ref pos 2010
+
+    r1, r2 = [], []
+    for name, src, n in (
+        ("m1", al1, 300), ("m2", al2, 300), ("lo", al3, 250),
+        ("wt", tb, 150),
+    ):
+        a1, a2 = _pairs(src, n, rng)
+        for i, (x, y) in enumerate(zip(a1, a2)):
+            x.name = y.name = f"{name}{i}"
+        r1 += a1
+        r2 += a2
+
+    pipe = AmpliconPipeline(
+        target=tb_pack, config=AmpliconConfig(final_as=80, min_depth=4)
+    )
+    res = pipe.run_records(r1, r2)
+    got = {(v.pos, v.ref, v.alt) for v in res.variants}
+
+    want = {
+        (ma_at, "ACGT"[tb[ma_at]], "ACGT"[(tb[ma_at] + 1) % 4]),
+        (ma_at, "ACGT"[tb[ma_at]], "ACGT"[(tb[ma_at] + 2) % 4]),
+        (del_at - 1, decode_seq(tb[del_at - 1 : del_at + 3]),
+         "ACGT"[tb[del_at - 1]]),
+        (near_at, "ACGT"[tb[near_at]], "ACGT"[(tb[near_at] + 1) % 4]),
+    }
+    missing = want - got
+    extra = got - want
+    assert not missing and not extra, (
+        f"missing={missing} extra={extra}"
+    )
+    by_key = {(v.pos, v.alt): v for v in res.variants}
+    for pos, alt_delta, lo, hi in (
+        (ma_at, 1, 0.18, 0.45), (ma_at, 2, 0.18, 0.45),
+        (near_at, 1, 0.12, 0.42),
+    ):
+        v = by_key[(pos, "ACGT"[(tb[pos] + alt_delta) % 4])]
+        af = v.alt_count / v.depth
+        assert lo < af < hi, f"pos {pos}: AF {af} outside [{lo},{hi}]"
+
+
+def test_variant_caller_homopolymer_indel(amp_world):
+    """Homopolymer slippage: an 8xA run in the reference, half the
+    reads carry a 1-base deletion of the run. The caller must emit
+    exactly one 1-base A deletion anchored inside the run."""
+    rng = np.random.default_rng(41)
+    tb = amp_world[2].copy()
+    run_at = 3000
+    tb[run_at : run_at + 8] = 0  # A x 8
+    ref = pack_fasta([FastqRecord("TB", decode_seq(tb), "", "")])
+    fm = build_fm_index(ref.codes, sa_interval=4, lut_k=6)
+
+    hp = np.concatenate([tb[: run_at + 7], tb[run_at + 8 :]])  # A x 7
+
+    # deep coverage: a read whose deletion sits near its end is
+    # soft-clipped into invisibility by the local DP, so only
+    # mid-read deletions project a mismatch tail for window
+    # nomination — ~30x keeps several such reads over the run
+    r1, r2 = [], []
+    for name, src, n in (("hp", hp, 450), ("wt", tb, 450)):
+        a1, a2 = _pairs(src, n, rng)
+        for i, (x, y) in enumerate(zip(a1, a2)):
+            x.name = y.name = f"{name}{i}"
+        r1 += a1
+        r2 += a2
+
+    pipe = AmpliconPipeline(
+        target=(ref, fm), config=AmpliconConfig(final_as=80, min_depth=4)
+    )
+    res = pipe.run_records(r1, r2)
+    dels = [
+        v for v in res.variants
+        if len(v.ref) == 2 and len(v.alt) == 1
+        and run_at - 2 <= v.pos <= run_at + 8
+    ]
+    assert len(dels) == 1, f"variants={[(v.pos, v.ref, v.alt) for v in res.variants]}"
+    v = dels[0]
+    assert set(v.ref[1:]) == {"A"}
+    af = v.alt_count / v.depth
+    assert 0.3 < af < 0.7, f"homopolymer del AF {af}"
+    # no spurious extra calls around the run
+    others = [
+        x for x in res.variants
+        if x is not v and run_at - 10 <= x.pos <= run_at + 18
+    ]
+    assert not others, f"spurious calls near the run: {others}"

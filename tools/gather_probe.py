@@ -1,7 +1,18 @@
 #!/usr/bin/env python
-"""Microbenchmark: TPU row-gather cost vs row width and row count,
-plus a seeding-walk step sweep. Decides whether the occ-row layout
-should shrink words-per-row (OCC_BLOCK) or row count."""
+"""Measure the seeding walk's gather cost model on real hardware.
+
+Questions the paired-row experiment raised (r4): is the per-step occ
+gather cost per ROW or per BYTE, and does redirecting duplicate
+indices to one hot row make those fetches cheap? Variants, all over an
+HBM-resident table shaped like the 512 Mbp shard's:
+
+  A  2 random row gathers/walker, 12-col rows (the r3 layout)
+  B  1 random + 1 constant(row 0) gather/walker, 12-col rows
+  C  1 random gather/walker only, 12-col rows (lower bound)
+  D  2 random row gathers/walker, 20-col rows (the paired layout)
+  E  2 random gathers but the second = first index (dup, same row)
+
+Honest sync: device_get of a scalar."""
 
 import os
 import sys
@@ -25,85 +36,72 @@ def main() -> None:
     print(jax.devices())
 
     rng = np.random.default_rng(0)
-    n_rows_table = 80_000
+    Wn = 80_000
+    STEPS = 128
+    n_rows = 4_000_000  # 512 Mbp / 128 = 4M occ rows
 
-    def probe(width, n_idx, iters=50):
-        table = jnp.asarray(
-            rng.integers(0, 2**31, (n_rows_table, width)).astype(np.uint32)
+    def mktable(cols):
+        return jnp.asarray(
+            rng.integers(0, 2**31, (n_rows, cols)).astype(np.uint32)
         )
-        idx = jnp.asarray(
-            rng.integers(0, n_rows_table, n_idx).astype(np.int32)
-        )
 
-        @jax.jit
-        def go(t, ix):
-            def body(i, acc):
-                r = jnp.take(t, (ix + i) % n_rows_table, axis=0)
-                return acc + r.sum(dtype=jnp.uint32)
-
-            return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
-
-        go(table, idx).block_until_ready()
-        t0 = time.time()
-        go(table, idx).block_until_ready()
-        dt = (time.time() - t0) / iters
-        print(f"  width={width:3d} n_idx={n_idx:7d}: {dt*1e3:7.3f} ms/gather "
-              f"({n_idx*width*4/dt/1e9:6.2f} GB/s, "
-              f"{n_idx/dt/1e6:6.1f} Mrow/s)")
-
-    print("[probe] row gathers")
-    for width in (4, 8, 12, 16):
-        probe(width, 163840)
-    for n_idx in (40960, 81920, 163840, 327680):
-        probe(12, n_idx)
-
-    # elementwise baseline for per-step non-gather work
-    def ew_probe(n, iters=50):
-        a = jnp.asarray(rng.integers(0, 100, n).astype(np.int32))
-
-        @jax.jit
-        def go(a):
-            def body(i, acc):
-                x = acc + a
-                x = jnp.where(x > 50, x - 3, x + 1)
-                return x
-
-            return jax.lax.fori_loop(0, iters, body, a)
-
-        go(a).block_until_ready()
-        t0 = time.time()
-        go(a).block_until_ready()
-        print(f"  elementwise n={n}: {(time.time()-t0)/iters*1e3:.3f} ms/step")
-
-    print("[probe] elementwise")
-    ew_probe(82000 * 15)  # ~walk state volume
-
-    # walk step sweep: cost vs max_steps (per-step cost + fixed)
-    import bench
-    from megapath_tpu.align.params import MmpParams
-    from megapath_tpu.align.seeding_jax import (
-        DeviceFM, build_walkers, device_mmp_seed,
+    t12 = mktable(12)
+    t20 = mktable(20)
+    st0 = tuple(
+        jnp.asarray(rng.integers(0, 1000, Wn).astype(np.int32))
+        for _ in range(4)
     )
 
-    ref, fm, reads1, lens1, reads2, lens2 = bench.build_workload()
-    dfm = DeviceFM.from_host(fm)
-    allr = np.concatenate([reads1, reads2])
-    all_lens = np.concatenate([lens1, lens2]).astype(np.int32)
-    w, wl = build_walkers(jnp.asarray(allr), jnp.asarray(all_lens))
-    mmp = MmpParams()
-    print("[probe] walk step sweep")
-    for ms in (64, 128, 192, 256, 364):
-        out, st = device_mmp_seed(dfm, w, wl, mmp, max_seeds=8, max_steps=ms)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(3):
-            out, st = device_mmp_seed(
-                dfm, w, wl, mmp, max_seeds=8, max_steps=ms
+    def timed(fn, reps=3):
+        fn()
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    def loop(body):
+        @jax.jit
+        def go(init):
+            return jax.lax.fori_loop(0, STEPS, body, init)
+
+        def run():
+            out = go(st0)
+            jax.device_get(jax.tree_util.tree_leaves(out)[0][0])
+
+        return timed(run)
+
+    def var(tag, table, second):
+        def body(i, st):
+            idx = (st[0] * 7919 + i) % n_rows
+            if second == "random":
+                idx2 = (st[1] * 104729 + i) % n_rows
+            elif second == "zero":
+                idx2 = jnp.zeros_like(idx)
+            elif second == "dup":
+                idx2 = idx
+            else:
+                idx2 = None
+            if idx2 is None:
+                rows = jnp.take(table, idx, axis=0)
+                s = rows.astype(jnp.int32).sum(axis=1)
+                return (st[0] + s % 3,) + st[1:]
+            rows = jnp.take(
+                table, jnp.concatenate([idx, idx2]), axis=0
             )
-            jax.block_until_ready(out)
-        dt = (time.time() - t0) / 3
-        print(f"  max_steps={ms:4d}: {dt:.3f}s "
-              f"(active_end={int(np.asarray(st.active).sum())})")
+            s = rows.astype(jnp.int32).sum(axis=1)
+            return (st[0] + s[:Wn] % 3, st[1] + s[Wn:] % 3) + st[2:]
+
+        dt = loop(body)
+        per = dt / STEPS / Wn * 1e9
+        print(f"{tag:40s}: {dt/STEPS*1e3:7.3f} ms/step  {per:6.2f} ns/walker/step")
+
+    var("A 2 random, 12-col", t12, "random")
+    var("B 1 random + 1 const0, 12-col", t12, "zero")
+    var("C 1 random only, 12-col", t12, "none")
+    var("D 2 random, 20-col", t20, "random")
+    var("E 2 dup-index, 12-col", t12, "dup")
 
 
 if __name__ == "__main__":
