@@ -40,7 +40,7 @@ N_PAIRS = 20_000
 READ_LEN = 100
 INSERT = 350
 SEED = 11
-LUT_K = 8
+LUT_K = int(os.environ.get("BENCH_LUT_K", "8"))
 SA_INTERVAL = 8
 
 
@@ -252,14 +252,15 @@ def _stage_breakdown(engine, reads1, lens1, reads2, lens2):
 
     def walk_only():
         out = device_seed_pipeline(
-            engine.dfm, allr, all_lens, mmp, max_seeds, limit, plan, cap
+            engine.dfm, allr, all_lens, mmp, max_seeds, limit, plan, cap,
+            two_phase=engine._walk_two_phase,
         )
         jax.device_get(out[0])
 
     def walk_loc():
         out = device_seed_pipeline_loc(
             engine.dfm, allr, all_lens, mmp, max_seeds, limit, plan, cap,
-            lcap,
+            lcap, two_phase=engine._walk_two_phase,
         )
         jax.device_get((out[0], out[7]))
 

@@ -216,6 +216,7 @@ class AlignEngine:
         self.dfm = None
         self.device = device
         self._ref_dev = None
+        self._walk_two_phase = False  # set by commit() from table size
         self._device_seeding = device_seeding
         self.seed_segment_threshold: Optional[int] = None  # see _device_seeds
         # on-device straggler compaction for the seeding walk (see
@@ -251,6 +252,15 @@ class AlignEngine:
             from megapath_tpu.align.seeding_jax import DeviceFM
 
             self.dfm = DeviceFM.from_host(self.fm, device=self.device)
+            # wide-interval strategy by occ-table residency: beyond
+            # ~64 MB the fused rows live cold in HBM and the
+            # two-phase single-gather walk wins (tools/gather_probe);
+            # below it the table is cache-hot and the stall
+            # iterations are pure loss. Seeds are identical either
+            # way (mode-invariant step charging).
+            self._walk_two_phase = (
+                int(self.dfm.fused_rows.size) * 4 > (64 << 20)
+            )
         if self.device is not None and self._ref_dev is None:
             # commit the shard text now so every jit call on this
             # engine executes on its mesh device (uncommitted numpy
@@ -376,7 +386,7 @@ class AlignEngine:
             lcap = 4 * Nb  # SA positions per batch (~2.8x seeds)
             fl = device_seed_pipeline_loc(
                 self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
-                plan, cap, lcap,
+                plan, cap, lcap, two_phase=self._walk_two_phase,
             )
             # stash the walk's device state for the deep-DP stage: its
             # candidate reads gather straight from the [reads; revcomp]
@@ -391,7 +401,7 @@ class AlignEngine:
                 # plain full-width walk through the same pipeline
                 fl = device_seed_pipeline_loc(
                     self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
-                    (), cap, lcap,
+                    (), cap, lcap, two_phase=self._walk_two_phase,
                 )
                 self._batch_dev = (orig_reads_id, fl[-1], lens_d, N, Nb)
                 res = self._seed_pipeline_finish(fl[:-1], cap, N, Nb)
@@ -402,6 +412,7 @@ class AlignEngine:
             out, st = device_mmp_seed(
                 self.dfm, *build_walkers(reads_d, lens_d), mmp,
                 max_seeds=max_seeds, max_steps=limit, finalize=True,
+                two_phase=self._walk_two_phase,
             )
         else:
             walkers, wlens = build_walkers(reads_d, lens_d)
@@ -522,14 +533,18 @@ class AlignEngine:
         bench workload (tools/nvalid probe, L=100): 1.6L steps -> 33%,
         1.76L -> 23%, 2.24L -> 6%, 2.88L -> 0.3% — productive walkers
         net ~1.5-2 lockstep steps/char (emit rollbacks), junk walkers
-        die at the progress-kill bound. Caps at 1/2 after 1.8L and 1/6
-        after +0.5L leave >=2x margin before the overflow fallback."""
+        die at the progress-kill bound. The single-gather walk's
+        wide-interval stalls extend per-walker LOOP life ~10-20% past
+        the charged-step curve (stalls are uncharged — see the budget
+        note in seeding_jax.body), so the first cut sits at 2.1L with
+        the same 1/2 cap; second at +0.5L to 1/6. Caps keep >=2x
+        margin before the loud overflow fallback."""
 
         def r512(x):
             return max(512, ((x + 511) // 512) * 512)
 
         return (
-            (int(1.8 * L), r512(Wn // 2)),
+            (int(2.1 * L), r512(Wn // 2)),
             (max(32, L // 2), r512(Wn // 6)),
         )
 
@@ -661,6 +676,7 @@ class AlignEngine:
         out, _ = device_mmp_seed(
             self.dfm, walkers, wlens, mmp, max_seeds=max_seeds,
             max_steps=3 * L + 64, finalize=True,
+            two_phase=self._walk_two_phase,
         )
         return self._seed_compact_dispatch(out, N, Nb)
 

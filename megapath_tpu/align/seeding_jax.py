@@ -27,6 +27,14 @@ import numpy as np
 from megapath_tpu.align.params import MmpParams
 from megapath_tpu.index.fm import FMIndex, OCC_BLOCK, WORD_CHARS
 
+# Device-side occ granularity, decoupled from the host layout: paired
+# rows at 64-char blocks keep the row at 48 B (the measured per-row
+# sweet spot, tools/gather_probe.py) while covering a 128-char span —
+# so once a walker's interval is < 64 rows BOTH rank queries resolve
+# from ONE gathered row. The 64-grain checkpoints are derived from the
+# host's 128-grain table at commit time.
+OCC_BLOCK_DEV = 64
+
 
 @jax.tree_util.register_pytree_node_class
 class DeviceFM:
@@ -85,25 +93,42 @@ class DeviceFM:
             return jnp.asarray(a) if device is None else jax.device_put(a, device)
 
         lut_k = fm.lut_k
-        wpb = OCC_BLOCK // WORD_CHARS
-        words2d = fm.bwt_words.reshape(-1, wpb)
-        n_blocks = fm.occ.shape[0] - 1
-        # PAIRED-block rows: row b = occ checkpoint of block b || the
-        # packed words of blocks b AND b+1 (4 + 2*wpb cols). Once a
-        # walker's interval narrows below OCC_BLOCK (true after ~5
-        # chars; ~95% of all lockstep steps) lo and hi land within the
-        # same paired row, so ONE cold HBM fetch serves both rank
-        # queries — on HBM-resident production tables the per-row
-        # gather latency (~17 ns, tools/step_ablate.py) dominates the
-        # walk, and this halves the cold rows per step. Costs 2x the
-        # words per row (0.625 B/char total) — latency, not bytes, is
-        # the wall.
-        occ_fused = np.zeros((n_blocks + 1, 4 + 2 * wpb), dtype=np.uint32)
-        occ_fused[:, :4] = fm.occ.astype(np.uint32)
-        m = min(n_blocks, words2d.shape[0])
-        occ_fused[:m, 4 : 4 + wpb] = words2d[:m]
-        m2 = min(n_blocks + 1, max(words2d.shape[0] - 1, 0))
-        occ_fused[:m2, 4 + wpb :] = words2d[1 : m2 + 1]
+        # PAIRED 64-char-block rows: row b = occ checkpoint at 64*b ||
+        # packed words covering chars [64b, 64b+128) — 12 uint32 = 48 B
+        # (the measured per-row cost sweet spot, tools/gather_probe.py:
+        # 2 random 48-B rows 27 ns/walker, ONE 48-B row 14.5 ns, and
+        # neither constant-index redirects nor duplicate indices make a
+        # fetch cheaper). A walker whose interval is < 64 rows resolves
+        # BOTH rank queries from this one row; the walk's per-step
+        # gather drops from 2 rows/walker to 1 (wide intervals take the
+        # two-phase path in the walk body). 64-grain checkpoints derive
+        # from the host's 128-grain table + one half-block popcount.
+        wpb = OCC_BLOCK_DEV // WORD_CHARS
+        B128 = fm.occ.shape[0] - 1
+        w128 = fm.bwt_words.reshape(-1, OCC_BLOCK // WORD_CHARS)
+        n_rows_tbl = 2 * B128 + 1
+        occ64 = np.zeros((n_rows_tbl, 4), np.uint32)
+        occ64[0 : 2 * B128 + 1 : 2] = fm.occ.astype(np.uint32)
+        first_half = w128[:, : OCC_BLOCK // (2 * WORD_CHARS)]
+        half_cnt = np.zeros((B128, 4), np.uint32)
+        for c in range(4):
+            pat = np.uint32(c * 0x55555555)
+            x = ~(first_half ^ pat)
+            mm_ = x & (x >> np.uint32(1)) & np.uint32(0x55555555)
+            half_cnt[:, c] = np.bitwise_count(mm_).sum(
+                axis=1, dtype=np.uint32
+            )
+        occ64[1 : 2 * B128 + 1 : 2] = (
+            fm.occ[:B128].astype(np.uint32) + half_cnt
+        )
+        words64 = fm.bwt_words.reshape(-1, wpb)
+        w64 = np.concatenate(
+            [words64, np.zeros((2, wpb), np.uint32)]
+        )
+        occ_fused = np.zeros((n_rows_tbl, 4 + 2 * wpb), dtype=np.uint32)
+        occ_fused[:, :4] = occ64
+        occ_fused[:, 4 : 4 + wpb] = w64[:n_rows_tbl]
+        occ_fused[:, 4 + wpb :] = w64[1 : n_rows_tbl + 1]
         if lut_k:
             # The k-mer LUT lives IN the fused table, as rows [0, 4^k)
             # BEFORE the occ blocks (occ block b at row 4^k + b, a
@@ -186,10 +211,10 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     per word replaces decoding OCC_BLOCK chars to int32 lanes — ~16x
     less VPU work on the seeding hot loop.
     """
-    block = idx // OCC_BLOCK
+    block = idx // OCC_BLOCK_DEV
     off = 4**dfm.lut_k if dfm.lut_k else 0  # LUT rows prefix the table
-    rows = jnp.take(dfm.fused_rows, block + off, axis=0)  # (B, 4+wpb)
-    rel = idx - block * OCC_BLOCK
+    rows = jnp.take(dfm.fused_rows, block + off, axis=0)  # (B, 4+2*wpb)
+    rel = idx - block * OCC_BLOCK_DEV
     return _occ_from_rows(rows, rel, c)
 
 
@@ -273,6 +298,7 @@ class SeedWalkState(NamedTuple):
     out_meta: jnp.ndarray
     out_lo: jnp.ndarray
     n_seeds: jnp.ndarray
+    pend: jnp.ndarray  # wide-interval two-phase stash (-1 = none)
     steps: jnp.ndarray  # per-walker lockstep steps spent (progress kill)
 
 
@@ -336,7 +362,9 @@ def device_mmp_seed_pairs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "max_seeds", "max_steps", "finalize"),
+    static_argnames=(
+        "params", "max_seeds", "max_steps", "finalize", "two_phase",
+    ),
 )
 def device_mmp_seed(
     dfm: DeviceFM,
@@ -347,6 +375,7 @@ def device_mmp_seed(
     max_steps: int | None = None,
     state: SeedWalkState | None = None,
     finalize: bool = True,
+    two_phase: bool = False,
 ):
     Wn, L = walkers.shape
     # seed metadata packs (off, len, cnt) into 12/10/10 bits of one
@@ -429,6 +458,7 @@ def device_mmp_seed(
         out_meta: jnp.ndarray  # (off << 20) | (len << 10) | cnt
         out_lo: jnp.ndarray
         n_seeds: jnp.ndarray
+        pend: jnp.ndarray  # wide-interval two-phase stash (-1 = none)
         steps: jnp.ndarray  # per-walker steps spent (for the progress kill)
         step: jnp.ndarray
 
@@ -445,6 +475,7 @@ def device_mmp_seed(
             out_meta=jnp.zeros((Wn, max_seeds), jnp.int32),
             out_lo=jnp.zeros((Wn, max_seeds), jnp.int32),
             n_seeds=jnp.zeros(Wn, jnp.int32),
+            pend=jnp.full(Wn, -1, jnp.int32),
             steps=jnp.zeros(Wn, jnp.int32),
             step=jnp.int32(0),
         )
@@ -537,7 +568,6 @@ def device_mmp_seed(
                 + jnp.float32(params.kill_base)
             )
             s = s._replace(active=s.active & ~over)
-        s = s._replace(steps=s.steps + s.active.astype(jnp.int32))
         fresh = s.active & (s.seed_len == 0)
         ext = s.active & (s.seed_len != 0)
 
@@ -554,6 +584,41 @@ def device_mmp_seed(
         active = active & ~done
         ext = ext & ~done
 
+        # SINGLE-gather rank step (tools/gather_probe.py: per-row cost
+        # is fixed whether indices repeat or hit a hot row, so the only
+        # lever is issuing ONE row per walker):
+        #   fresh + LUT      -> the LUT prefix row (jump, no occ)
+        #   fresh, no LUT    -> interval = [C[c], C[c+1]) from counts
+        #   ext, interval<64 -> paired row at blk_lo serves BOTH ends
+        #   ext, wide        -> two-phase: this step fetches blk_lo's
+        #                       row and stashes occ(lo) in ``pend``;
+        #                       the next step fetches blk_hi's row and
+        #                       completes (cursor frozen in between)
+        adj_lo = s.lo - (s.lo > dfm.primary).astype(jnp.int32)
+        adj_hi = s.hi - (s.hi > dfm.primary).astype(jnp.int32)
+        occ_off = jnp.int32(4**k if k else 0)
+        blk_lo = adj_lo // OCC_BLOCK_DEV + occ_off
+        blk_hi = adj_hi // OCC_BLOCK_DEV + occ_off
+        if two_phase:
+            near = (adj_hi - adj_lo) < OCC_BLOCK_DEV
+            phase1 = s.pend >= 0
+            wide_stall = ext & ~near & ~phase1
+        else:
+            wide_stall = jnp.zeros_like(ext)
+        # the step budget charges PROGRESSING steps only: charging
+        # stalls makes the kill fire on legitimate rollback-heavy
+        # walkers (a k=0 walker re-extends its rolled-back range
+        # through the wide phase twice — up to ~4 charged steps per
+        # net char, breaching ratio 2.5), which breaks device-vs-host
+        # seed parity. Because the charge is mode-invariant, the two
+        # walk modes emit IDENTICAL seeds. Junk walkers' kill point in
+        # CHARS is unchanged; their extra stall iterations are
+        # absorbed by the compaction schedule's longer first segment
+        # (_seed_seg_plan).
+        s = s._replace(
+            steps=s.steps + (s.active & ~wide_stall).astype(jnp.int32)
+        )
+
         # Per-row column picks one-hot over the PACKED word columns
         # (L/16 wide) instead of char columns: a 2D fancy gather lowers
         # to a scalar loop on TPU, and the packed reduce streams ~16x
@@ -565,64 +630,72 @@ def device_mmp_seed(
             c, _ = char_and_kmer(jj, jj)
         c_ext = jnp.where(ext, c, 0)
 
-        # ONE fused gather serves both rank queries AND the fresh
-        # walkers' k-mer LUT jump: LUT rows prefix the fused table
-        # (rows [0, 4^k), occ block b at 4^k + b), and a fresh walker
-        # needs the LUT instead of occ — so its lo-slot gathers the
-        # LUT row. Cuts per-step gather rows from 3/walker to 2.
-        adj_lo = s.lo - (s.lo > dfm.primary).astype(jnp.int32)
-        adj_hi = s.hi - (s.hi > dfm.primary).astype(jnp.int32)
-        occ_off = jnp.int32(4**k if k else 0)
-        blk_lo = adj_lo // OCC_BLOCK + occ_off
-        blk_hi = adj_hi // OCC_BLOCK + occ_off
-        # Narrow intervals (hi - lo < OCC_BLOCK) land inside the two
-        # blocks the PAIRED row at blk_lo covers: the hi-slot gather
-        # redirects to row 0 (cache-hot LUT region) and hi's rank
-        # comes from lo's row — killing the second cold HBM fetch for
-        # ~95% of lockstep steps (fresh walkers need no occ at all,
-        # so theirs redirects too). On HBM-resident production tables
-        # the per-row gather latency dominates the walk.
-        near = (adj_hi - adj_lo) < OCC_BLOCK
-        use_lo_row = near | fresh
-        slot_hi = jnp.where(use_lo_row, 0, blk_hi)
-        if k:
-            slot_lo = jnp.where(fresh, v, blk_lo)
+        if two_phase:
+            blk_sel = jnp.where(ext & ~near & phase1, blk_hi, blk_lo)
+            if k:
+                slot = jnp.where(fresh, v, blk_sel)
+            else:
+                slot = blk_sel
+            rows = jnp.take(dfm.fused_rows, slot, axis=0)  # (Wn, 4+2w)
+            if k:
+                lut_lo = rows[:, 0].astype(jnp.int32)
+                lut_hi = rows[:, 1].astype(jnp.int32)
+            base_blk = blk_sel - occ_off
+            rel_lo = adj_lo - base_blk * OCC_BLOCK_DEV
+            rel_hi = adj_hi - base_blk * OCC_BLOCK_DEV
+            rr = _occ_from_rows(
+                jnp.concatenate([rows, rows]),
+                jnp.concatenate([rel_lo, rel_hi]),
+                jnp.concatenate([c_ext, c_ext]),
+            )
+            b_lo = jnp.where(phase1, s.pend, rr[:Wn])
+            b_hi = rr[Wn:]
+            new_pend = jnp.where(wide_stall, rr[:Wn], jnp.int32(-1))
         else:
-            slot_lo = blk_lo
-        occ_rows = jnp.take(
-            dfm.fused_rows, jnp.concatenate([slot_lo, slot_hi]), axis=0
-        )
-        rows_lo = occ_rows[:Wn]
-        rows_hi = jnp.where(use_lo_row[:, None], rows_lo, occ_rows[Wn:])
-        if k:
-            lut_lo = rows_lo[:, 0].astype(jnp.int32)
-            lut_hi = rows_lo[:, 1].astype(jnp.int32)
-        hi_base = jnp.where(use_lo_row, blk_lo, blk_hi)
-        rel = jnp.concatenate(
-            [adj_lo - (blk_lo - occ_off) * OCC_BLOCK,
-             adj_hi - (hi_base - occ_off) * OCC_BLOCK]
-        )
-        r = _occ_from_rows(
-            jnp.concatenate([rows_lo, rows_hi]), rel,
-            jnp.concatenate([c_ext, c_ext]),
-        )
+            # cache-resident tables: fetch BOTH rows every step (row
+            # fetches are cheap; avoiding the wide-phase stall
+            # iterations wins — pick per shard size in the engine)
+            if k:
+                slot_lo = jnp.where(fresh, v, blk_lo)
+            else:
+                slot_lo = blk_lo
+            rows2 = jnp.take(
+                dfm.fused_rows, jnp.concatenate([slot_lo, blk_hi]), axis=0
+            )
+            if k:
+                lut_lo = rows2[:Wn, 0].astype(jnp.int32)
+                lut_hi = rows2[:Wn, 1].astype(jnp.int32)
+            rel2 = jnp.concatenate(
+                [adj_lo - (blk_lo - occ_off) * OCC_BLOCK_DEV,
+                 adj_hi - (blk_hi - occ_off) * OCC_BLOCK_DEV]
+            )
+            rr = _occ_from_rows(
+                rows2, rel2, jnp.concatenate([c_ext, c_ext])
+            )
+            b_lo = rr[:Wn]
+            b_hi = rr[Wn:]
+            new_pend = s.pend
         C = _counts_of(dfm, c_ext)
-        b_lo = C + r[:Wn]
-        b_hi = C + r[Wn:]
+        nlo_e = C + b_lo
+        nhi_e = C + b_hi
 
         if k:
-            nlo = jnp.where(fresh, lut_lo, b_lo)
-            nhi = jnp.where(fresh, lut_hi, b_hi)
+            nlo = jnp.where(fresh, lut_lo, nlo_e)
+            nhi = jnp.where(fresh, lut_hi, nhi_e)
         else:
-            # LUT-free: fresh walkers extend from the full interval
-            f_lo, f_hi = extend_backward(
-                dfm,
-                jnp.zeros_like(s.lo),
-                jnp.full_like(s.hi, n_rows),
-                jnp.where(fresh, c, 0),
+            # LUT-free fresh jump needs no gather at all: the 1-char
+            # interval is [counts[c], counts[c+1]) by construction
+            five = jnp.arange(5, dtype=jnp.int32)[None, :]
+            cf = jnp.sum(
+                jnp.where(five == c[:, None], dfm.counts[None, :], 0),
+                axis=1,
             )
-            nlo = jnp.where(fresh, f_lo, b_lo)
-            nhi = jnp.where(fresh, f_hi, b_hi)
+            cf1 = jnp.sum(
+                jnp.where(five == (c + 1)[:, None], dfm.counts[None, :], 0),
+                axis=1,
+            )
+            nlo = jnp.where(fresh, cf, nlo_e)
+            nhi = jnp.where(fresh, cf1, nhi_e)
 
         ok = nlo < nhi
         # fresh success: jump k (or 1) chars
@@ -633,10 +706,11 @@ def device_mmp_seed(
             adv = jnp.ones(Wn, jnp.int32)
             new_len = jnp.where(fresh, 1, s.seed_len + 1).astype(jnp.int32)
 
-        stepping = (fresh | ext) & ok
+        act_now = (fresh | ext) & ~wide_stall
+        stepping = act_now & ok
         # CHECK_AND_SET_LAST (ext only; fresh has seed_len < min)
         narrow = (nhi - nlo) < (s.hi - s.lo)
-        upd = ext & ok & (s.seed_len >= min_len) & narrow
+        upd = ext & ~wide_stall & ok & (s.seed_len >= min_len) & narrow
         s3 = s._replace(
             last_lo=jnp.where(upd, s.lo, s.last_lo),
             last_hi=jnp.where(upd, s.hi, s.last_hi),
@@ -646,13 +720,14 @@ def device_mmp_seed(
             seed_len=jnp.where(stepping, new_len, s.seed_len),
             i=jnp.where(stepping, s.i + adv, s.i),
             active=active,
+            pend=new_pend,
         )
         # fresh failure (empty LUT bucket / first char dead): net +1
         fresh_fail = fresh & ~ok
         s3 = s3._replace(i=jnp.where(fresh_fail, s3.i + 1, s3.i))
         # done walkers emit keeping state; ext failures emit + reset
         # (+1 net advance folded into emit) — one buffer pass total
-        s4 = emit(s3, done | (ext & ~ok), at_end=done)
+        s4 = emit(s3, done | (ext & ~wide_stall & ~ok), at_end=done)
         return s4._replace(step=s.step + 1)
 
     def cond(s: S) -> jnp.ndarray:
@@ -676,14 +751,16 @@ def device_mmp_seed(
     out_state = SeedWalkState(
         final.i, final.lo, final.hi, final.seed_len, final.last_lo,
         final.last_hi, final.last_len, final.active, final.out_meta,
-        final.out_lo, final.n_seeds, final.steps,
+        final.out_lo, final.n_seeds, final.pend, final.steps,
     )
     return seeds, out_state
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "max_seeds", "max_steps", "seg_plan"),
+    static_argnames=(
+        "params", "max_seeds", "max_steps", "seg_plan", "two_phase",
+    ),
 )
 def device_mmp_seed_staged(
     dfm: DeviceFM,
@@ -693,6 +770,7 @@ def device_mmp_seed_staged(
     max_seeds: int,
     max_steps: int,
     seg_plan: Tuple[Tuple[int, int], ...],
+    two_phase: bool = False,
 ):
     """Multi-segment walk with ON-DEVICE straggler compaction.
 
@@ -734,7 +812,7 @@ def device_mmp_seed_staged(
     steps0 = seg_plan[0][0]
     seeds_full, st = device_mmp_seed(
         dfm, walkers, lens, params, max_seeds,
-        max_steps=steps0, finalize=False,
+        max_steps=steps0, finalize=False, two_phase=two_phase,
     )
     spent += steps0
     # each later level walks a compacted subset; merges apply innermost
@@ -769,6 +847,7 @@ def device_mmp_seed_staged(
         sub_seeds, st = device_mmp_seed(
             dfm, sub_w, sub_l, params, max_seeds,
             max_steps=steps, state=sub_st, finalize=last,
+            two_phase=two_phase,
         )
         spent += steps
         merges.append((order, inv, cap, cur_seeds))
@@ -790,7 +869,10 @@ def device_mmp_seed_staged(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "max_seeds", "max_steps", "seg_plan", "cap"),
+    static_argnames=(
+        "params", "max_seeds", "max_steps", "seg_plan", "cap",
+        "two_phase",
+    ),
 )
 def device_seed_pipeline(
     dfm: DeviceFM,
@@ -801,6 +883,7 @@ def device_seed_pipeline(
     max_steps: int,
     seg_plan: Tuple[Tuple[int, int], ...],
     cap: int,
+    two_phase: bool = False,
 ):
     """ONE dispatch for the whole seeding leg: build [reads; revcomp]
     walkers, run the staged (or plain, seg_plan=()) walk, and compact
@@ -813,11 +896,13 @@ def device_seed_pipeline(
     walkers, wlens = build_walkers(reads, lens)
     if seg_plan:
         seeds, overflow = device_mmp_seed_staged(
-            dfm, walkers, wlens, params, max_seeds, max_steps, seg_plan
+            dfm, walkers, wlens, params, max_seeds, max_steps, seg_plan,
+            two_phase=two_phase,
         )
     else:
         seeds, _ = device_mmp_seed(
-            dfm, walkers, wlens, params, max_seeds, max_steps=max_steps
+            dfm, walkers, wlens, params, max_seeds, max_steps=max_steps,
+            two_phase=two_phase,
         )
         overflow = jnp.zeros((), bool)
     # walkers ride along DEVICE-RESIDENT (the caller must NOT pull
@@ -831,6 +916,7 @@ def device_seed_pipeline(
     jax.jit,
     static_argnames=(
         "params", "max_seeds", "max_steps", "seg_plan", "cap", "lcap",
+        "two_phase",
     ),
 )
 def device_seed_pipeline_loc(
@@ -843,6 +929,7 @@ def device_seed_pipeline_loc(
     seg_plan: Tuple[Tuple[int, int], ...],
     cap: int,
     lcap: int,
+    two_phase: bool = False,
 ):
     """device_seed_pipeline + the SA locate of every decoded position
     in the SAME program: the flat seeds' SA intervals are expanded
@@ -856,7 +943,8 @@ def device_seed_pipeline_loc(
     the seeds themselves are still usable); ``walkers`` is the
     device-resident [reads; revcomp] matrix (do not pull)."""
     out = device_seed_pipeline(
-        dfm, reads, lens, params, max_seeds, max_steps, seg_plan, cap
+        dfm, reads, lens, params, max_seeds, max_steps, seg_plan, cap,
+        two_phase=two_phase,
     )
     (n_valid, walker, offset, length, sa_lo, sa_count, overflow,
      walkers) = out

@@ -771,18 +771,22 @@ def spmd_hits_to_batch(
     return hits
 
 
-def spmd_payload_stats(out: SpmdHits, n_pairs_per_row: int) -> dict:
+def spmd_payload_stats(
+    out: SpmdHits, n_pairs_per_row: int, n_real_pairs: int | None = None
+) -> dict:
     """Measured cross-shard merge payload of one step's output: the
     bytes/pair/shard that actually leave the device (VERDICT r3 #8 —
     measure, don't assume, the SCALING.md grouped-payload figure).
 
     Counts the compacted pull as shipped: H_cap rows x 10 int32
     fields for the static allocation, valid rows for the useful
-    payload."""
+    payload. ``n_real_pairs`` excludes block padding from the
+    denominator (pad rows emit nothing, so counting them understates
+    the per-pair payload)."""
     o_valid = np.asarray(out.valid)
     D, S, H = o_valid.shape
     n_rows = int(o_valid.sum())
-    n_pairs = D * n_pairs_per_row
+    n_pairs = n_real_pairs if n_real_pairs else D * n_pairs_per_row
     bytes_per_row = 10 * 4  # 10 int32 fields incl. valid
     return {
         "pairs": n_pairs,

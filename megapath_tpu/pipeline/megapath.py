@@ -812,7 +812,7 @@ class MegaPathPipeline:
             sp["steps"][key] = step
         out = step(sp["sfm"], sp["ref_codes"], sp["seq_off"], r1, r2, l1, l2)
         per_shard = spmd_hits_to_batch(out, Bl)
-        sp["payload"] = spmd_payload_stats(out, Bl)
+        sp["payload"] = spmd_payload_stats(out, Bl, n_real_pairs=n)
         # pad rows (len 0) emit nothing, but never let one through
         fields = ("read", "end", "seq", "score", "raw_score", "start",
                   "stop", "strand", "paired")

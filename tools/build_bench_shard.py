@@ -35,7 +35,7 @@ BIG_PAIRS = 20_000
 READ_LEN = 100
 INSERT = 350
 SEED = 23
-LUT_K = 8
+LUT_K = int(os.environ.get("BIG_LUT_K", "8"))
 SA_INTERVAL = 8
 
 

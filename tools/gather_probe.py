@@ -61,19 +61,24 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
-    def loop(body):
+    def loop(body, table):
+        # table rides as a jit ARGUMENT (a closure constant would be
+        # inlined into the HLO and blow the remote-compile payload)
         @jax.jit
-        def go(init):
-            return jax.lax.fori_loop(0, STEPS, body, init)
+        def go(table, init):
+            def wrapped(i, st):
+                return body(i, st, table)
+
+            return jax.lax.fori_loop(0, STEPS, wrapped, init)
 
         def run():
-            out = go(st0)
+            out = go(table, st0)
             jax.device_get(jax.tree_util.tree_leaves(out)[0][0])
 
         return timed(run)
 
     def var(tag, table, second):
-        def body(i, st):
+        def body(i, st, table):
             idx = (st[0] * 7919 + i) % n_rows
             if second == "random":
                 idx2 = (st[1] * 104729 + i) % n_rows
@@ -93,7 +98,7 @@ def main() -> None:
             s = rows.astype(jnp.int32).sum(axis=1)
             return (st[0] + s[:Wn] % 3, st[1] + s[Wn:] % 3) + st[2:]
 
-        dt = loop(body)
+        dt = loop(body, table)
         per = dt / STEPS / Wn * 1e9
         print(f"{tag:40s}: {dt/STEPS*1e3:7.3f} ms/step  {per:6.2f} ns/walker/step")
 
