@@ -180,9 +180,15 @@ def bench_pipeline(ref, fm, reads1, lens1, reads2, lens2) -> float:
             max_read_len=READ_LEN,
         ),
     )
-    t = time.time()
-    res = pipe.run_records(recs1, recs2)
-    dt = time.time() - t
+    # steady state, same methodology as the align passes: the first
+    # run pays this engine instance's device commit + tunnel quirks
+    pipe.run_records(recs1, recs2)
+    times = []
+    for _ in range(2):
+        t = time.time()
+        res = pipe.run_records(recs1, recs2)
+        times.append(time.time() - t)
+    dt = min(times)
     log(
         f"pipeline: {dt:.2f}s ({2*N_PAIRS/dt:.0f} reads/s), "
         f"kept={res.n_after_preprocess}, spiked={res.spike_removed}, "

@@ -252,15 +252,13 @@ class AlignEngine:
             from megapath_tpu.align.seeding_jax import DeviceFM
 
             self.dfm = DeviceFM.from_host(self.fm, device=self.device)
-            # wide-interval strategy by occ-table residency: beyond
-            # ~64 MB the fused rows live cold in HBM and the
-            # two-phase single-gather walk wins (tools/gather_probe);
-            # below it the table is cache-hot and the stall
-            # iterations are pure loss. Seeds are identical either
-            # way (mode-invariant step charging).
-            self._walk_two_phase = (
-                int(self.dfm.fused_rows.size) * 4 > (64 << 20)
-            )
+            # walk mode follows the layout from_host picked by table
+            # size: paired 64-char rows (HBM-resident shards) enable
+            # the single-gather two-phase walk; classic 128-char rows
+            # (cache-resident shards) run the stall-free two-gather
+            # walk. Seeds are identical either way (mode-invariant
+            # step charging).
+            self._walk_two_phase = self.dfm.blk == 64
         if self.device is not None and self._ref_dev is None:
             # commit the shard text now so every jit call on this
             # engine executes on its mesh device (uncommitted numpy

@@ -47,9 +47,15 @@ class DeviceFM:
 
     def __init__(self, n, primary, bwt_words, fused_rows,
                  counts, lut_k, mark_words, mark_chk, sa_sampled,
-                 sa_interval):
+                 sa_interval, blk=OCC_BLOCK_DEV):
         self.n = n
         self.primary = primary
+        # occ block granularity of fused_rows: 64 = paired rows (words
+        # span 128 chars from a 64-aligned base; both rank queries of
+        # a narrow interval resolve from one row — the HBM-resident
+        # two-phase walk mode), 128 = classic single-block rows (the
+        # cache-resident layout; half the rows, same 48-B width)
+        self.blk = blk
         self.bwt_words = bwt_words  # uint32 [n_words]
         # fused uint32 occ row table, one gather launch per rank batch:
         # row b = occ checkpoint (4 counts) || the block's packed BWT
@@ -71,28 +77,39 @@ class DeviceFM:
         leaves = (self.bwt_words, self.fused_rows,
                   self.counts, self.mark_words, self.mark_chk,
                   self.sa_sampled)
-        aux = (self.n, self.primary, self.lut_k, self.sa_interval)
+        aux = (self.n, self.primary, self.lut_k, self.sa_interval,
+               self.blk)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, primary, lut_k, sa_interval = aux
+        n, primary, lut_k, sa_interval, blk = aux
         (bwt_words, fused_rows, counts, mark_words, mark_chk,
          sa_sampled) = leaves
         return cls(n, primary, bwt_words, fused_rows, counts,
-                   lut_k, mark_words, mark_chk, sa_sampled, sa_interval)
+                   lut_k, mark_words, mark_chk, sa_sampled, sa_interval,
+                   blk=blk)
 
     @classmethod
-    def from_host(cls, fm: FMIndex, device=None) -> "DeviceFM":
+    def from_host(cls, fm: FMIndex, device=None,
+                  paired: bool | None = None) -> "DeviceFM":
         """``device`` pins the arrays to a specific device (committed),
         so jit calls taking this DeviceFM execute there — the basis of
-        the per-shard mesh placement in ``parallel.cascade``."""
+        the per-shard mesh placement in ``parallel.cascade``.
+
+        ``paired`` selects the fused-row layout (None = auto by table
+        size): paired 64-char rows for HBM-resident shards (enables
+        the single-gather two-phase walk), classic 128-char rows for
+        cache-resident shards (half the table; the stall-free
+        two-gather walk stays fastest there)."""
         assert fm.n < 2**31, "device seeding path requires shard < 2^31"
 
         def put(a):
             return jnp.asarray(a) if device is None else jax.device_put(a, device)
 
         lut_k = fm.lut_k
+        if paired is None:
+            paired = int(fm.n) * 3 // 4 > (64 << 20)  # ~0.75 B/char
         # PAIRED 64-char-block rows: row b = occ checkpoint at 64*b ||
         # packed words covering chars [64b, 64b+128) — 12 uint32 = 48 B
         # (the measured per-row cost sweet spot, tools/gather_probe.py:
@@ -103,32 +120,47 @@ class DeviceFM:
         # gather drops from 2 rows/walker to 1 (wide intervals take the
         # two-phase path in the walk body). 64-grain checkpoints derive
         # from the host's 128-grain table + one half-block popcount.
-        wpb = OCC_BLOCK_DEV // WORD_CHARS
-        B128 = fm.occ.shape[0] - 1
-        w128 = fm.bwt_words.reshape(-1, OCC_BLOCK // WORD_CHARS)
-        n_rows_tbl = 2 * B128 + 1
-        occ64 = np.zeros((n_rows_tbl, 4), np.uint32)
-        occ64[0 : 2 * B128 + 1 : 2] = fm.occ.astype(np.uint32)
-        first_half = w128[:, : OCC_BLOCK // (2 * WORD_CHARS)]
-        half_cnt = np.zeros((B128, 4), np.uint32)
-        for c in range(4):
-            pat = np.uint32(c * 0x55555555)
-            x = ~(first_half ^ pat)
-            mm_ = x & (x >> np.uint32(1)) & np.uint32(0x55555555)
-            half_cnt[:, c] = np.bitwise_count(mm_).sum(
-                axis=1, dtype=np.uint32
+        if paired:
+            blk = OCC_BLOCK_DEV
+            wpb = OCC_BLOCK_DEV // WORD_CHARS
+            B128 = fm.occ.shape[0] - 1
+            w128 = fm.bwt_words.reshape(-1, OCC_BLOCK // WORD_CHARS)
+            n_rows_tbl = 2 * B128 + 1
+            occ64 = np.zeros((n_rows_tbl, 4), np.uint32)
+            occ64[0 : 2 * B128 + 1 : 2] = fm.occ.astype(np.uint32)
+            first_half = w128[:, : OCC_BLOCK // (2 * WORD_CHARS)]
+            half_cnt = np.zeros((B128, 4), np.uint32)
+            for c in range(4):
+                pat = np.uint32(c * 0x55555555)
+                x = ~(first_half ^ pat)
+                mm_ = x & (x >> np.uint32(1)) & np.uint32(0x55555555)
+                half_cnt[:, c] = np.bitwise_count(mm_).sum(
+                    axis=1, dtype=np.uint32
+                )
+            occ64[1 : 2 * B128 + 1 : 2] = (
+                fm.occ[:B128].astype(np.uint32) + half_cnt
             )
-        occ64[1 : 2 * B128 + 1 : 2] = (
-            fm.occ[:B128].astype(np.uint32) + half_cnt
-        )
-        words64 = fm.bwt_words.reshape(-1, wpb)
-        w64 = np.concatenate(
-            [words64, np.zeros((2, wpb), np.uint32)]
-        )
-        occ_fused = np.zeros((n_rows_tbl, 4 + 2 * wpb), dtype=np.uint32)
-        occ_fused[:, :4] = occ64
-        occ_fused[:, 4 : 4 + wpb] = w64[:n_rows_tbl]
-        occ_fused[:, 4 + wpb :] = w64[1 : n_rows_tbl + 1]
+            words64 = fm.bwt_words.reshape(-1, wpb)
+            w64 = np.concatenate(
+                [words64, np.zeros((2, wpb), np.uint32)]
+            )
+            occ_fused = np.zeros(
+                (n_rows_tbl, 4 + 2 * wpb), dtype=np.uint32
+            )
+            occ_fused[:, :4] = occ64
+            occ_fused[:, 4 : 4 + wpb] = w64[:n_rows_tbl]
+            occ_fused[:, 4 + wpb :] = w64[1 : n_rows_tbl + 1]
+        else:
+            blk = OCC_BLOCK
+            wpb128 = OCC_BLOCK // WORD_CHARS
+            words2d = fm.bwt_words.reshape(-1, wpb128)
+            n_blocks = fm.occ.shape[0] - 1
+            occ_fused = np.zeros(
+                (n_blocks + 1, 4 + wpb128), dtype=np.uint32
+            )
+            occ_fused[:, :4] = fm.occ.astype(np.uint32)
+            m = min(n_blocks, words2d.shape[0])
+            occ_fused[:m, 4:] = words2d[:m]
         if lut_k:
             # The k-mer LUT lives IN the fused table, as rows [0, 4^k)
             # BEFORE the occ blocks (occ block b at row 4^k + b, a
@@ -146,7 +178,9 @@ class DeviceFM:
             rev = np.zeros_like(keys)
             for t in range(lut_k):
                 rev |= ((keys >> (2 * t)) & 3) << (2 * (lut_k - 1 - t))
-            lut_rows = np.zeros((4**lut_k, 4 + 2 * wpb), dtype=np.uint32)
+            lut_rows = np.zeros(
+                (4**lut_k, occ_fused.shape[1]), dtype=np.uint32
+            )
             lut_rows[:, 0] = fm.lut_lo.astype(np.uint32)[rev]
             lut_rows[:, 1] = fm.lut_hi.astype(np.uint32)[rev]
             fused = np.concatenate([lut_rows, occ_fused])
@@ -164,6 +198,7 @@ class DeviceFM:
             mark_chk=put(mark_chk),
             sa_sampled=put(fm.sa_sampled.astype(np.int32)),
             sa_interval=int(fm.sa_interval),
+            blk=int(blk),
         )
 
 
@@ -211,10 +246,10 @@ def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     per word replaces decoding OCC_BLOCK chars to int32 lanes — ~16x
     less VPU work on the seeding hot loop.
     """
-    block = idx // OCC_BLOCK_DEV
+    block = idx // dfm.blk
     off = 4**dfm.lut_k if dfm.lut_k else 0  # LUT rows prefix the table
-    rows = jnp.take(dfm.fused_rows, block + off, axis=0)  # (B, 4+2*wpb)
-    rel = idx - block * OCC_BLOCK_DEV
+    rows = jnp.take(dfm.fused_rows, block + off, axis=0)
+    rel = idx - block * dfm.blk
     return _occ_from_rows(rows, rel, c)
 
 
@@ -594,13 +629,17 @@ def device_mmp_seed(
         #                       row and stashes occ(lo) in ``pend``;
         #                       the next step fetches blk_hi's row and
         #                       completes (cursor frozen in between)
+        blk = dfm.blk
+        row_span = (dfm.fused_rows.shape[1] - 4) * WORD_CHARS
         adj_lo = s.lo - (s.lo > dfm.primary).astype(jnp.int32)
         adj_hi = s.hi - (s.hi > dfm.primary).astype(jnp.int32)
         occ_off = jnp.int32(4**k if k else 0)
-        blk_lo = adj_lo // OCC_BLOCK_DEV + occ_off
-        blk_hi = adj_hi // OCC_BLOCK_DEV + occ_off
+        blk_lo = adj_lo // blk + occ_off
+        blk_hi = adj_hi // blk + occ_off
         if two_phase:
-            near = (adj_hi - adj_lo) < OCC_BLOCK_DEV
+            # both ends resolvable from lo's row iff hi lands within
+            # the row's word span (layout-generic)
+            near = (adj_hi - (blk_lo - occ_off) * blk) < row_span
             phase1 = s.pend >= 0
             wide_stall = ext & ~near & ~phase1
         else:
@@ -641,8 +680,8 @@ def device_mmp_seed(
                 lut_lo = rows[:, 0].astype(jnp.int32)
                 lut_hi = rows[:, 1].astype(jnp.int32)
             base_blk = blk_sel - occ_off
-            rel_lo = adj_lo - base_blk * OCC_BLOCK_DEV
-            rel_hi = adj_hi - base_blk * OCC_BLOCK_DEV
+            rel_lo = adj_lo - base_blk * blk
+            rel_hi = adj_hi - base_blk * blk
             rr = _occ_from_rows(
                 jnp.concatenate([rows, rows]),
                 jnp.concatenate([rel_lo, rel_hi]),
@@ -666,8 +705,8 @@ def device_mmp_seed(
                 lut_lo = rows2[:Wn, 0].astype(jnp.int32)
                 lut_hi = rows2[:Wn, 1].astype(jnp.int32)
             rel2 = jnp.concatenate(
-                [adj_lo - (blk_lo - occ_off) * OCC_BLOCK_DEV,
-                 adj_hi - (blk_hi - occ_off) * OCC_BLOCK_DEV]
+                [adj_lo - (blk_lo - occ_off) * blk,
+                 adj_hi - (blk_hi - occ_off) * blk]
             )
             rr = _occ_from_rows(
                 rows2, rel2, jnp.concatenate([c_ext, c_ext])
