@@ -528,22 +528,23 @@ class AlignEngine:
     def _seed_seg_plan(Wn: int, L: int):
         """Static compaction schedule for ``device_mmp_seed_staged``:
         (steps, cap) per level. Measured active-walker curve on the
-        bench workload (tools/nvalid probe, L=100): 1.6L steps -> 33%,
-        1.76L -> 23%, 2.24L -> 6%, 2.88L -> 0.3% — productive walkers
-        net ~1.5-2 lockstep steps/char (emit rollbacks), junk walkers
-        die at the progress-kill bound. The single-gather walk's
-        wide-interval stalls extend per-walker LOOP life ~10-20% past
-        the charged-step curve (stalls are uncharged — see the budget
-        note in seeding_jax.body), so the first cut sits at 2.1L with
-        the same 1/2 cap; second at +0.5L to 1/6. Caps keep >=2x
-        margin before the loud overflow fallback."""
+        512 Mbp shard (tools/active_curve.py, L=100, two-phase walk):
+        1.1L -> 82%, 1.7L -> 69%, 2.0L -> 23%, 2.3L -> 18%,
+        2.8L -> 14%, 3.4L -> 2.6% — a cliff at the progress-kill bound
+        (~2.0L) and then a FLAT junk tail whose uncharged wide-phase
+        stalls stretch loop life ~1.8x past the charged curve. Cut 1
+        at 2.0L to 1/2 (margin 2.2x over the measured 23%); cut 2 at
+        +0.5L to 1/4 — NOT the old 1/6, whose 1.1x margin over the
+        measured tail would make junkier-than-bench production batches
+        overflow into the silent full-width rerun. The wider tail
+        segment costs ~3% more walker-steps; the safety is worth it."""
 
         def r512(x):
             return max(512, ((x + 511) // 512) * 512)
 
         return (
-            (int(2.1 * L), r512(Wn // 2)),
-            (max(32, L // 2), r512(Wn // 6)),
+            (int(2.0 * L), r512(Wn // 2)),
+            (max(32, L // 2), r512(Wn // 4)),
         )
 
     @staticmethod

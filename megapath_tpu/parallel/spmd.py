@@ -72,6 +72,7 @@ class FMMeta(NamedTuple):
     n: int
     lut_k: int
     sa_interval: int
+    blk: int = 64  # fused-row occ block granularity (DeviceFM.blk)
 
 
 def stack_fms(fms: Sequence[FMIndex]) -> Tuple[StackedFM, FMMeta]:
@@ -87,6 +88,7 @@ def stack_fms(fms: Sequence[FMIndex]) -> Tuple[StackedFM, FMMeta]:
         n=dfms[0].n,
         lut_k=dfms[0].lut_k,
         sa_interval=dfms[0].sa_interval,
+        blk=dfms[0].blk,
     )
     for d in dfms[1:]:
         if (d.lut_k, d.sa_interval) != (meta.lut_k, meta.sa_interval):
@@ -198,6 +200,7 @@ def build_spmd_engine_step(
             mark_chk=fm_leaves[4][0],
             sa_sampled=fm_leaves[5][0],
             sa_interval=meta.sa_interval,
+            blk=meta.blk,
         )
         ref = ref_local[0]
         true_n = true_n_local[0]

@@ -108,6 +108,7 @@ class StackedFMPad(NamedTuple):
 class FMMetaPad(NamedTuple):
     lut_k: int
     sa_interval: int
+    blk: int = 64  # fused-row occ block granularity (DeviceFM.blk)
 
 
 def stack_fms_exact(fms: Sequence[FMIndex]) -> Tuple[StackedFMPad, FMMetaPad]:
@@ -118,7 +119,12 @@ def stack_fms_exact(fms: Sequence[FMIndex]) -> Tuple[StackedFMPad, FMMetaPad]:
     if len(metas) != 1:
         raise ValueError("shard FM build parameters differ")
     dfms = [DeviceFM.from_host(fm) for fm in fms]
-    meta = FMMetaPad(lut_k=dfms[0].lut_k, sa_interval=dfms[0].sa_interval)
+    if len({d.blk for d in dfms}) != 1:
+        raise ValueError("shard FM fused-row layouts differ")
+    meta = FMMetaPad(
+        lut_k=dfms[0].lut_k, sa_interval=dfms[0].sa_interval,
+        blk=dfms[0].blk,
+    )
 
     def pad_stack(arrs, dtype):
         arrs = [np.asarray(a) for a in arrs]
@@ -245,6 +251,7 @@ def build_spmd_full_engine(
             mark_chk=fm_leaves[4][0],
             sa_sampled=fm_leaves[5][0],
             sa_interval=meta.sa_interval,
+            blk=meta.blk,
         )
         ref = ref_local[0]
         offs = seq_off[0].astype(jnp.int32)  # [M+1+pad], I32_HUGE past true

@@ -377,3 +377,46 @@ def test_run_files_bam_output(world, tmp_path):
         )
         assert consumed == 80, f"CIGAR {c[5]} does not cover the read"
         assert int(c[3]) >= 1
+
+
+def test_run_files_spmd_backend_with_bam(world, tmp_path):
+    """The two round-4 driver features compose: run_files with the
+    one-program SPMD backend (config.spmd) AND BAM output (config.bam)
+    produces the same reports as the host path plus a merged BAM whose
+    records cover the aligned reads."""
+    from megapath_tpu.io.bam import read_bam
+
+    shard0, shard1, hg_shard, seqs, db = world
+    rng = np.random.default_rng(23)
+    r1, r2 = [], []
+    for key, n in [
+        ("NC_000913.1 Escherichia coli K-12", 6),
+        ("NC_045512.1 SARS-CoV-2", 5),
+    ]:
+        a, b = _pairs_from(seqs, key, rng, n)
+        r1 += a
+        r2 += b
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    _write_fastq(r1, p1)
+    _write_fastq(r2, p2)
+
+    cfg_host = PipelineConfig(read_len=80, max_read_len=80,
+                              skip_preprocess=True, batch_size=6)
+    host = MegaPathPipeline([shard0, shard1], db, config=cfg_host)
+    want = host.run_files(str(p1), str(p2), str(tmp_path / "host"))
+
+    cfg = PipelineConfig(read_len=80, max_read_len=80,
+                         skip_preprocess=True, batch_size=6,
+                         spmd=True, bam=True)
+    pipe = MegaPathPipeline([shard0, shard1], db, config=cfg)
+    got = pipe.run_files(str(p1), str(p2), str(tmp_path / "sp"))
+
+    assert got.report == want.report
+    assert got.ra_report == want.ra_report
+    assert (tmp_path / "sp.nt.lsam.id").read_text() == (
+        tmp_path / "host.nt.lsam.id"
+    ).read_text()
+    with open(tmp_path / "sp.nt.bam", "rb") as f:
+        header, lines = read_bam(f)
+    assert len(lines) >= 2 * len(r1)
+    assert pipe._spmd["payload"]["hit_rows"] > 0
