@@ -309,6 +309,12 @@ def main() -> None:
     # end-to-end pipeline throughput (BASELINE.md config 3 surface);
     # engine compiles are warm from the align passes above
     pipeline_rps = bench_pipeline(ref, fm, reads1, lens1, reads2, lens2)
+    # release the toy phases' device arrays before the large shard
+    # commits ~1 GB of tables: lingering buffers fragment HBM and
+    # add run-to-run noise to the large passes
+    import gc
+
+    gc.collect()
 
     # ---- large shard (HBM-resident tables; the production regime) ----
     large_rps = 0.0

@@ -31,7 +31,12 @@ def main() -> None:
     import bench
     from megapath_tpu.align import AlignEngine, AlignParams
 
-    ref, fm, reads1, lens1, reads2, lens2 = bench.build_workload()
+    if os.environ.get("PROFILE_LARGE"):
+        from tools.build_bench_shard import build as _build_big
+
+        ref, fm, reads1, lens1, reads2, lens2 = _build_big()
+    else:
+        ref, fm, reads1, lens1, reads2, lens2 = bench.build_workload()
     engine = AlignEngine(ref, fm, AlignParams(), device_seeding=True)
 
     times = defaultdict(float)
