@@ -210,7 +210,10 @@ def build_spmd_engine_step(
         allr = jnp.concatenate([reads1, reads2], axis=0)
         all_lens = jnp.concatenate([lens1, lens2]).astype(jnp.int32)
         walkers, wlens = build_walkers(allr, all_lens)  # [4Bl, L]
-        seeds, _ = _seed_fn(dfm, walkers, wlens, mmp, max_seeds=max_seeds)
+        seeds, _ = _seed_fn(
+            dfm, walkers, wlens, mmp, max_seeds=max_seeds,
+            two_phase=(meta.blk == 64),
+        )
 
         # ---- 2. SA locate (one entry per seed slot) ------------------
         slots = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]

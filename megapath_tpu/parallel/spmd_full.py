@@ -156,6 +156,7 @@ class SpmdCaps(NamedTuple):
     cand_factor: int = 8  # paired candidates per orientation
     se_factor: int = 4  # single-end DP rows
     hit_factor: int = 6  # compacted output hit rows
+    dp_factor: int = 4  # compacted deep-DP candidate rows (both orients)
 
 
 class SpmdHits(NamedTuple):
@@ -271,7 +272,10 @@ def build_spmd_full_engine(
         from megapath_tpu.align.seeding_jax import build_walkers
 
         walkers, wlens = build_walkers(allr, all_lens)  # [4Bl, L]
-        seeds, _ = _seed_fn(dfm, walkers, wlens, mmp, max_seeds=max_seeds)
+        seeds, _ = _seed_fn(
+            dfm, walkers, wlens, mmp, max_seeds=max_seeds,
+            two_phase=(meta.blk == 64),
+        )
 
         # ---- 2. multi SA-locate (up to sa_size_threshold+1 per seed) -
         slots = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
@@ -445,14 +449,36 @@ def build_spmd_full_engine(
         v0, p0, lp0, rp0, ov0 = orient(0)
         v1, p1, lp1, rp1, ov1 = orient(1)
         overflow = jnp.maximum(overflow, jnp.maximum(ov0, ov1))
-        C2 = 2 * C_cap
-        cvalid = jnp.concatenate([v0, v1])
-        cpair = jnp.concatenate([p0, p1])
-        clpos = jnp.concatenate([lp0, lp1])
-        crpos = jnp.concatenate([rp0, rp1])
-        cflip = jnp.concatenate(
+        C2f = 2 * C_cap
+        cvalid_f = jnp.concatenate([v0, v1])
+        cpair_f = jnp.concatenate([p0, p1])
+        clpos_f = jnp.concatenate([lp0, lp1])
+        crpos_f = jnp.concatenate([rp0, rp1])
+        cflip_f = jnp.concatenate(
             [jnp.zeros(C_cap, jnp.int32), jnp.ones(C_cap, jnp.int32)]
         )
+        # compact real candidates before the DP legs: the join caps
+        # size the candidate BUFFERS (cand_factor*Bl per orientation),
+        # but only ~2-3 candidates/pair are real — running both DP
+        # legs over the padded rows made the one-program path ~10x the
+        # host engine's wall clock at production Bl. One stable
+        # argsort packs the real rows into a dp_factor*Bl window
+        # (loud overflow otherwise); everything downstream runs in the
+        # compacted space, so results are row-identical.
+        C2 = caps.dp_factor * Bl
+        n_cand = cvalid_f.sum()
+        overflow = jnp.maximum(
+            overflow, (n_cand > C2).astype(jnp.int32)
+        )
+        iota_c = jnp.arange(C2f, dtype=jnp.int32)
+        cord = jnp.argsort(
+            jnp.where(cvalid_f, iota_c, C2f + iota_c)
+        )[:C2]
+        cvalid = cvalid_f[cord] & (jnp.arange(C2) < n_cand)
+        cpair = jnp.where(cvalid, cpair_f[cord], 0)
+        clpos = jnp.where(cvalid, clpos_f[cord], 0)
+        crpos = jnp.where(cvalid, crpos_f[cord], 0)
+        cflip = jnp.where(cvalid, cflip_f[cord], 0)
 
         # ---- 5. fused deep-DP (engine._deep_dp) ----------------------
         left_idx = jnp.where(cflip == 1, cpair + Bl, cpair)
