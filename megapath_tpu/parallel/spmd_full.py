@@ -157,6 +157,7 @@ class SpmdCaps(NamedTuple):
     se_factor: int = 4  # single-end DP rows
     hit_factor: int = 6  # compacted output hit rows
     dp_factor: int = 4  # compacted deep-DP candidate rows (both orients)
+    rescue_factor: int = 2  # compacted mate-rescue rows (passing anchors)
 
 
 class SpmdHits(NamedTuple):
@@ -621,39 +622,69 @@ def build_spmd_full_engine(
         anchor_ok = a_passed & a_okb
 
         # mate rescue (engine._mate_rescue): one insert-window DP per
-        # passing anchor
-        m_idx = a_pair + (1 - a_end) * Bl
+        # PASSING anchor. The rescue window is insert_high wide (~6x a
+        # read window), so running it over every SE slot dominated the
+        # program — compact the passing anchors into a rescue_factor*Bl
+        # window first (stable order; loud overflow), DP there, and map
+        # the pair-sum back to the anchors by rank (a gather — TPU
+        # scatters serialize).
+        R_cap = caps.rescue_factor * Bl
+        n_resc = anchor_ok.sum()
+        overflow = jnp.maximum(
+            overflow, (n_resc > R_cap).astype(jnp.int32)
+        )
+        iota_se = jnp.arange(SE_cap, dtype=jnp.int32)
+        rord = jnp.argsort(
+            jnp.where(anchor_ok, iota_se, SE_cap + iota_se)
+        )[:R_cap]
+        r_ok = anchor_ok[rord] & (jnp.arange(R_cap) < n_resc)
+        rs_pair = jnp.where(r_ok, a_pair[rord], 0)
+        rs_end = jnp.where(r_ok, a_end[rord], 0)
+        rs_strand = jnp.where(r_ok, a_strand[rord], 0)
+        rs_gs = jnp.where(r_ok, a_gs[rord], 0)
+        rs_ge = jnp.where(r_ok, a_ge[rord], 0)
+        rs_seq = jnp.where(r_ok, a_seq[rord], 0)
+        rs_sa = jnp.where(r_ok, sa[rord], 0)
+
+        m_idx = rs_pair + (1 - rs_end) * Bl
         ml = all_lens[m_idx]
         m_margin = jnp.where(ml > 100, 30, 25)
         m_ws = jnp.where(
-            a_strand == 0,
-            a_gs - m_margin,
-            a_ge - jnp.int32(params.insert_high) - m_margin,
+            rs_strand == 0,
+            rs_gs - m_margin,
+            rs_ge - jnp.int32(params.insert_high) - m_margin,
         )
-        m_strand = 1 - a_strand
+        m_strand = 1 - rs_strand
         m_reads = walkers[m_idx + m_strand * n2]
         sm, st_m, e_m = full_dp(
-            m_reads, ml, m_ws, jnp.full(SE_cap, Wrescue, jnp.int32), Wrescue
+            m_reads, ml, m_ws, jnp.full(R_cap, Wrescue, jnp.int32), Wrescue
         )
-        m_passed = anchor_ok & (sm >= thr_of(ml))
+        m_passed = r_ok & (sm >= thr_of(ml))
         m_gs = m_ws + st_m
         m_ge = m_ws + e_m
         m_seq = seq_of(m_gs)
         m_okb = (m_seq == seq_of(jnp.maximum(m_ge - 1, m_gs))) & (m_gs >= 0)
         m_valid = m_passed & m_okb
-        m_same = m_valid & (a_seq == m_seq)
-        m_summed = jnp.where(m_same, sm + sa, sm)
+        m_same = m_valid & (rs_seq == m_seq)
+        m_summed = jnp.where(m_same, sm + rs_sa, sm)
 
-        a_norm = jnp.where(m_same, sa + sm, sa)
-        a_paired = m_same
+        # anchor norm score: rescued anchors carry the summed pair
+        # score (normalizeScore) — fetch the rescue-space verdict by
+        # each anchor's rank among passing anchors
+        rank = jnp.cumsum(anchor_ok.astype(jnp.int32)) - 1
+        rank_c = jnp.clip(rank, 0, R_cap - 1)
+        in_resc = anchor_ok & (rank < R_cap)
+        a_m_same = in_resc & m_same[rank_c]
+        a_norm = jnp.where(a_m_same, sa + sm[rank_c], sa)
+        a_paired = a_m_same
 
         # ---- assemble hit rows --------------------------------------
         def cat(*parts):
             return jnp.concatenate([p.astype(jnp.int32) for p in parts])
 
         valid = jnp.concatenate([dl_valid, dr_valid, anchor_ok, m_valid])
-        readc = cat(cpair, cpair, a_pair, a_pair)
-        endc = cat(end_l, end_r, a_end, 1 - a_end)
+        readc = cat(cpair, cpair, a_pair, rs_pair)
+        endc = cat(end_l, end_r, a_end, 1 - rs_end)
         seqc = cat(seq_l, seq_r, a_seq, m_seq)
         scorec = cat(norm_l, norm_r, a_norm, m_summed)
         rawc = cat(s1v, s2v, sa, sm)
