@@ -46,7 +46,7 @@ class DeviceFM:
     """
 
     def __init__(self, n, primary, bwt_words, fused_rows,
-                 counts, lut_k, mark_words, mark_chk, sa_sampled,
+                 counts, lut_k, mark_rows, sa_sampled,
                  sa_interval, blk=OCC_BLOCK_DEV):
         self.n = n
         self.primary = primary
@@ -63,19 +63,17 @@ class DeviceFM:
         self.fused_rows = fused_rows
         self.counts = counts  # int32 [5]
         self.lut_k = lut_k
-        # sampled-SA mark rank as bitmap + 32-row checkpoints: 0.25
-        # bytes/char on device instead of the 4 B/char full int32
-        # prefix array — the difference between ~6 GB/Gbp and ~2.4
-        # GB/Gbp of HBM per committed shard (SCALING.md), at the same
-        # gather count per locate step (one word + one checkpoint).
-        self.mark_words = mark_words  # uint32 [ceil((n+1)/32)] bitmap
-        self.mark_chk = mark_chk  # int32 [same] rank of marks < 32*w
+        # sampled-SA mark rank as one (bitmap word, rank checkpoint)
+        # row per 32 BWT rows: 0.25 B/char on device instead of the
+        # 4 B/char full int32 prefix array, and a mark lookup is ONE
+        # row fetch (word and checkpoint ride together).
+        self.mark_rows = mark_rows  # uint32 [ceil((n+1)/32), 2]
         self.sa_sampled = sa_sampled  # int32 [n_marked]
         self.sa_interval = sa_interval
 
     def tree_flatten(self):
         leaves = (self.bwt_words, self.fused_rows,
-                  self.counts, self.mark_words, self.mark_chk,
+                  self.counts, self.mark_rows,
                   self.sa_sampled)
         aux = (self.n, self.primary, self.lut_k, self.sa_interval,
                self.blk)
@@ -84,10 +82,10 @@ class DeviceFM:
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         n, primary, lut_k, sa_interval, blk = aux
-        (bwt_words, fused_rows, counts, mark_words, mark_chk,
+        (bwt_words, fused_rows, counts, mark_rows,
          sa_sampled) = leaves
         return cls(n, primary, bwt_words, fused_rows, counts,
-                   lut_k, mark_words, mark_chk, sa_sampled, sa_interval,
+                   lut_k, mark_rows, sa_sampled, sa_interval,
                    blk=blk)
 
     @classmethod
@@ -187,6 +185,9 @@ class DeviceFM:
         else:
             fused = occ_fused
         mark_words, mark_chk = pack_mark_rank(fm.mark_rank, int(fm.n))
+        mark_rows = np.stack(
+            [mark_words, mark_chk.astype(np.uint32)], axis=1
+        )
         return cls(
             n=int(fm.n),
             primary=int(fm.primary),
@@ -194,8 +195,7 @@ class DeviceFM:
             fused_rows=put(fused),
             counts=put(fm.counts.astype(np.int32)),
             lut_k=int(lut_k),
-            mark_words=put(mark_words),
-            mark_chk=put(mark_chk),
+            mark_rows=put(mark_rows),
             sa_sampled=put(fm.sa_sampled.astype(np.int32)),
             sa_interval=int(fm.sa_interval),
             blk=int(blk),
@@ -220,12 +220,14 @@ def pack_mark_rank(mark_rank: np.ndarray, n: int):
 
 
 def _mark_lookup(dfm: DeviceFM, r: jnp.ndarray):
-    """(is_marked(r), rank-of-marks-below-r) from the bitmap."""
-    w = jnp.take(dfm.mark_words, r >> 5)
+    """(is_marked(r), rank-of-marks-below-r): ONE row fetch carries
+    both the bitmap word and its rank checkpoint."""
+    rows = jnp.take(dfm.mark_rows, r >> 5, axis=0)
+    w = rows[:, 0]
     bit = (r & 31).astype(jnp.uint32)
     hit = ((w >> bit) & jnp.uint32(1)) > 0
     below = w & ((jnp.uint32(1) << bit) - jnp.uint32(1))
-    rank = jnp.take(dfm.mark_chk, r >> 5) + jax.lax.population_count(
+    rank = rows[:, 1].astype(jnp.int32) + jax.lax.population_count(
         below
     ).astype(jnp.int32)
     return hit, rank
@@ -1010,14 +1012,30 @@ def device_locate(dfm: DeviceFM, rowsv: jnp.ndarray, sa_interval: int) -> jnp.nd
     """Batched LF-walk locate of full rows (int32)."""
     rowsv = rowsv.astype(jnp.int32)
 
-    def bwt_char(r):
-        adj = r - (r > dfm.primary).astype(jnp.int32)
-        w = dfm.bwt_words[adj // WORD_CHARS]
-        return ((w >> (2 * (adj % WORD_CHARS)).astype(jnp.uint32)) & jnp.uint32(3)).astype(jnp.int32)
-
     def lf(r):
-        c = bwt_char(jnp.where(r == dfm.primary, 0, r))
-        out = dfm.counts[c] + _occ_full(dfm, r, c)
+        # ONE fused-row fetch serves BOTH the BWT char and its rank:
+        # the row's packed words cover adj, so the separate bwt_words
+        # gather the old two-fetch lf paid per step disappears (the
+        # LF walk is gather-latency-bound like the seeding walk)
+        adj = r - (r > dfm.primary).astype(jnp.int32)
+        off = jnp.int32(4**dfm.lut_k if dfm.lut_k else 0)
+        block = adj // dfm.blk
+        rows = jnp.take(dfm.fused_rows, block + off, axis=0)
+        rel = adj - block * dfm.blk
+        nw = rows.shape[1] - 4
+        cols = jnp.arange(nw, dtype=jnp.int32)[None, :]
+        w = jnp.sum(
+            jnp.where(
+                cols == (rel // WORD_CHARS)[:, None],
+                rows[:, 4:], jnp.uint32(0),
+            ),
+            axis=1,
+        )
+        c = (
+            (w >> (2 * (rel % WORD_CHARS)).astype(jnp.uint32))
+            & jnp.uint32(3)
+        ).astype(jnp.int32)
+        out = _counts_of(dfm, c) + _occ_from_rows(rows, rel, c)
         return jnp.where(r == dfm.primary, 0, out)
 
     pos = jnp.full(rowsv.shape, -1, jnp.int32)

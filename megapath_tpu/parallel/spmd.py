@@ -60,8 +60,7 @@ class StackedFM(NamedTuple):
     bwt_words: jnp.ndarray  # [S, n_words] uint32
     fused_rows: jnp.ndarray  # [S, R, C] uint32
     counts: jnp.ndarray  # [S, 5] int32
-    mark_words: jnp.ndarray  # [S, ceil((n+1)/32)] uint32 bitmap
-    mark_chk: jnp.ndarray  # [S, same] int32 rank checkpoints
+    mark_rows: jnp.ndarray  # [S, ceil((n+1)/32), 2] uint32 word+rank
     sa_sampled: jnp.ndarray  # [S, n_marked_max] int32
     primary: jnp.ndarray  # [S] int32 (traced inside the program)
 
@@ -103,11 +102,8 @@ def stack_fms(fms: Sequence[FMIndex]) -> Tuple[StackedFM, FMMeta]:
         bwt_words=jnp.asarray(np.stack([np.asarray(d.bwt_words) for d in dfms])),
         fused_rows=jnp.asarray(np.stack([np.asarray(d.fused_rows) for d in dfms])),
         counts=jnp.asarray(np.stack([np.asarray(d.counts) for d in dfms])),
-        mark_words=jnp.asarray(
-            np.stack([np.asarray(d.mark_words) for d in dfms])
-        ),
-        mark_chk=jnp.asarray(
-            np.stack([np.asarray(d.mark_chk) for d in dfms])
+        mark_rows=jnp.asarray(
+            np.stack([np.asarray(d.mark_rows) for d in dfms])
         ),
         sa_sampled=jnp.asarray(np.stack([pad_sa(d) for d in dfms])),
         primary=jnp.asarray([d.primary for d in dfms], dtype=jnp.int32),
@@ -196,9 +192,8 @@ def build_spmd_engine_step(
             fused_rows=fm_leaves[1][0],
             counts=fm_leaves[2][0],
             lut_k=meta.lut_k,
-            mark_words=fm_leaves[3][0],
-            mark_chk=fm_leaves[4][0],
-            sa_sampled=fm_leaves[5][0],
+            mark_rows=fm_leaves[3][0],
+            sa_sampled=fm_leaves[4][0],
             sa_interval=meta.sa_interval,
             blk=meta.blk,
         )
@@ -353,7 +348,7 @@ def build_spmd_engine_step(
         local_step,
         mesh=mesh,
         in_specs=(
-            (P("shard"),) * 6,  # fm leaves (trailing dims replicated)
+            (P("shard"),) * 5,  # fm leaves (trailing dims replicated)
             P("shard"),  # primary
             P("shard"),  # ref_codes
             P("shard"),  # true_n
@@ -373,7 +368,7 @@ def build_spmd_engine_step(
     def step(sfm: StackedFM, ref_codes, true_n, seq_offsets, seq_species,
              reads1, reads2, lens1, lens2):
         leaves = (sfm.bwt_words, sfm.fused_rows,
-                  sfm.counts, sfm.mark_words, sfm.mark_chk,
+                  sfm.counts, sfm.mark_rows,
                   sfm.sa_sampled)
         return SpmdAlignOut(*shmapped(
             leaves, sfm.primary, ref_codes, true_n, seq_offsets,
@@ -402,8 +397,9 @@ def place_spmd_inputs(mesh: Mesh, sfm: StackedFM, **arrays):
             sfm.fused_rows, NamedSharding(mesh, P("shard", None, None))
         ),
         counts=jax.device_put(sfm.counts, shard2),
-        mark_words=jax.device_put(sfm.mark_words, shard2),
-        mark_chk=jax.device_put(sfm.mark_chk, shard2),
+        mark_rows=jax.device_put(
+            sfm.mark_rows, NamedSharding(mesh, P("shard", None, None))
+        ),
         sa_sampled=jax.device_put(sfm.sa_sampled, shard2),
         primary=jax.device_put(sfm.primary, shard1),
     )

@@ -98,8 +98,7 @@ class StackedFMPad(NamedTuple):
     bwt_words: jnp.ndarray  # [S, nw_max] uint32
     fused_rows: jnp.ndarray  # [S, R_max, C] uint32
     counts: jnp.ndarray  # [S, 5] int32
-    mark_words: jnp.ndarray  # [S, nm_max] uint32 bitmap
-    mark_chk: jnp.ndarray  # [S, nm_max] int32 rank checkpoints
+    mark_rows: jnp.ndarray  # [S, nm_max, 2] uint32 word+rank
     sa_sampled: jnp.ndarray  # [S, ns_max] int32
     primary: jnp.ndarray  # [S] int32
     n: jnp.ndarray  # [S] int32 true text length
@@ -140,8 +139,7 @@ def stack_fms_exact(fms: Sequence[FMIndex]) -> Tuple[StackedFMPad, FMMetaPad]:
         bwt_words=pad_stack([d.bwt_words for d in dfms], np.uint32),
         fused_rows=pad_stack([d.fused_rows for d in dfms], np.uint32),
         counts=pad_stack([d.counts for d in dfms], np.int32),
-        mark_words=pad_stack([d.mark_words for d in dfms], np.uint32),
-        mark_chk=pad_stack([d.mark_chk for d in dfms], np.int32),
+        mark_rows=pad_stack([d.mark_rows for d in dfms], np.uint32),
         sa_sampled=pad_stack([d.sa_sampled for d in dfms], np.int32),
         primary=jnp.asarray([d.primary for d in dfms], jnp.int32),
         n=jnp.asarray([d.n for d in dfms], jnp.int32),
@@ -249,9 +247,8 @@ def build_spmd_full_engine(
             fused_rows=fm_leaves[1][0],
             counts=fm_leaves[2][0],
             lut_k=meta.lut_k,
-            mark_words=fm_leaves[3][0],
-            mark_chk=fm_leaves[4][0],
-            sa_sampled=fm_leaves[5][0],
+            mark_rows=fm_leaves[3][0],
+            sa_sampled=fm_leaves[4][0],
             sa_interval=meta.sa_interval,
             blk=meta.blk,
         )
@@ -726,7 +723,7 @@ def build_spmd_full_engine(
         local_step,
         mesh=mesh,
         in_specs=(
-            (P("shard"),) * 6,
+            (P("shard"),) * 5,
             P("shard"), P("shard"), P("shard"), P("shard"),
             P("data"), P("data"), P("data"), P("data"),
         ),
@@ -739,7 +736,7 @@ def build_spmd_full_engine(
     def step(sfm: StackedFMPad, ref_codes, seq_offsets,
              reads1, reads2, lens1, lens2):
         leaves = (sfm.bwt_words, sfm.fused_rows,
-                  sfm.counts, sfm.mark_words, sfm.mark_chk,
+                  sfm.counts, sfm.mark_rows,
                   sfm.sa_sampled)
         out = shmapped(
             leaves, sfm.primary, sfm.n, ref_codes, seq_offsets,
@@ -763,8 +760,9 @@ def place_spmd_full_inputs(mesh: Mesh, sfm: StackedFMPad, ref_codes,
         bwt_words=jax.device_put(sfm.bwt_words, sh2),
         fused_rows=jax.device_put(sfm.fused_rows, sh3),
         counts=jax.device_put(sfm.counts, sh2),
-        mark_words=jax.device_put(sfm.mark_words, sh2),
-        mark_chk=jax.device_put(sfm.mark_chk, sh2),
+        mark_rows=jax.device_put(
+            sfm.mark_rows, NamedSharding(mesh, P("shard", None, None))
+        ),
         sa_sampled=jax.device_put(sfm.sa_sampled, sh2),
         primary=jax.device_put(sfm.primary, sh1),
         n=jax.device_put(sfm.n, sh1),
