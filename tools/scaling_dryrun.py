@@ -5,7 +5,7 @@ at data-axis sizes 1/2/4 with a FIXED per-device batch and reports
 throughput per device-row. On the virtual CPU mesh all devices share
 the host's cores, so these numbers measure program overhead (dispatch,
 collective layout), not ICI scaling — real scaling rides the TPU mesh.
-Writes SCALING.md.
+Prints the table (update SCALING.md manually — the file also carries HBM-budget and ICI-payload sections).
 
 Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
        python tools/scaling_dryrun.py
@@ -119,10 +119,9 @@ def main():
         lines.append(
             f"| {D} | {S_} | {B} | {dt*1e3:.1f} | {thr:,.0f} | {eff:.2f} |"
         )
-    with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"),
-              "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote SCALING.md", file=sys.stderr)
+    # print only: SCALING.md also carries the HBM-budget and measured
+    # ICI-payload sections, which a blind overwrite would destroy
+    print("\n".join(lines))
 
 
 if __name__ == "__main__":
