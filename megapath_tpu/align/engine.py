@@ -258,7 +258,7 @@ class AlignEngine:
             # (cache-resident shards) run the stall-free two-gather
             # walk. Seeds are identical either way (mode-invariant
             # step charging).
-            self._walk_two_phase = self.dfm.blk == 64
+            self._walk_two_phase = self.dfm.blk < 128  # paired layout
         if self.device is not None and self._ref_dev is None:
             # commit the shard text now so every jit call on this
             # engine executes on its mesh device (uncommitted numpy

@@ -27,13 +27,16 @@ import numpy as np
 from megapath_tpu.align.params import MmpParams
 from megapath_tpu.index.fm import FMIndex, OCC_BLOCK, WORD_CHARS
 
-# Device-side occ granularity, decoupled from the host layout: paired
-# rows at 64-char blocks keep the row at 48 B (the measured per-row
-# sweet spot, tools/gather_probe.py) while covering a 128-char span —
-# so once a walker's interval is < 64 rows BOTH rank queries resolve
-# from ONE gathered row. The 64-grain checkpoints are derived from the
-# host's 128-grain table at commit time.
-OCC_BLOCK_DEV = 64
+# Device-side occ granularity for HBM-resident shards, decoupled from
+# the host layout: paired rows at 32-char blocks are 32 B (4 occ +
+# 2+2 words) covering a 64-char span, so once a walker's interval is
+# below the span BOTH rank queries resolve from ONE gathered row.
+# Swept on the 512 Mbp shard: blk 64 -> 35.5k reads/s, blk 32 ->
+# 44.0k, blk 16 -> 42.8k (smaller rows fetch cheaper and halve the
+# SWAR popcount until the extra wide-phase stalls win out). The
+# sub-block checkpoints derive from the host's 128-grain table at
+# commit time.
+OCC_BLOCK_DEV = 32
 
 
 @jax.tree_util.register_pytree_node_class
@@ -50,11 +53,11 @@ class DeviceFM:
                  sa_interval, blk=OCC_BLOCK_DEV):
         self.n = n
         self.primary = primary
-        # occ block granularity of fused_rows: 64 = paired rows (words
-        # span 128 chars from a 64-aligned base; both rank queries of
-        # a narrow interval resolve from one row — the HBM-resident
-        # two-phase walk mode), 128 = classic single-block rows (the
-        # cache-resident layout; half the rows, same 48-B width)
+        # occ block granularity of fused_rows: < 128 = paired rows
+        # (words span 2*blk chars from a blk-aligned base; both rank
+        # queries of a narrow interval resolve from one row — the
+        # HBM-resident two-phase walk mode), 128 = classic
+        # single-block rows (the cache-resident layout)
         self.blk = blk
         self.bwt_words = bwt_words  # uint32 [n_words]
         # fused uint32 occ row table, one gather launch per rank batch:
@@ -96,10 +99,10 @@ class DeviceFM:
         the per-shard mesh placement in ``parallel.cascade``.
 
         ``paired`` selects the fused-row layout (None = auto by table
-        size): paired 64-char rows for HBM-resident shards (enables
-        the single-gather two-phase walk), classic 128-char rows for
-        cache-resident shards (half the table; the stall-free
-        two-gather walk stays fastest there)."""
+        size): paired OCC_BLOCK_DEV-char rows for HBM-resident shards
+        (enables the single-gather two-phase walk), classic 128-char
+        rows for cache-resident shards (the stall-free two-gather
+        walk stays fastest there)."""
         assert fm.n < 2**31, "device seeding path requires shard < 2^31"
 
         def put(a):
@@ -108,46 +111,49 @@ class DeviceFM:
         lut_k = fm.lut_k
         if paired is None:
             paired = int(fm.n) * 3 // 4 > (64 << 20)  # ~0.75 B/char
-        # PAIRED 64-char-block rows: row b = occ checkpoint at 64*b ||
-        # packed words covering chars [64b, 64b+128) — 12 uint32 = 48 B
-        # (the measured per-row cost sweet spot, tools/gather_probe.py:
-        # 2 random 48-B rows 27 ns/walker, ONE 48-B row 14.5 ns, and
-        # neither constant-index redirects nor duplicate indices make a
-        # fetch cheaper). A walker whose interval is < 64 rows resolves
-        # BOTH rank queries from this one row; the walk's per-step
-        # gather drops from 2 rows/walker to 1 (wide intervals take the
-        # two-phase path in the walk body). 64-grain checkpoints derive
-        # from the host's 128-grain table + one half-block popcount.
+        # PAIRED blk-char rows: row b = occ checkpoint at blk*b ||
+        # packed words covering chars [blk*b, blk*b + 2*blk). Per the
+        # measured gather model (tools/gather_probe.py: per-row cost
+        # is fixed-ish + per-byte; neither constant-index redirects
+        # nor duplicate indices make a fetch cheaper), ONE small row
+        # per walker per step is the optimum: a walker whose interval
+        # is < blk rows resolves BOTH rank queries from one row (wide
+        # intervals take the two-phase path in the walk body).
+        # blk=32 won the sweep — see OCC_BLOCK_DEV above.
         if paired:
             blk = OCC_BLOCK_DEV
-            wpb = OCC_BLOCK_DEV // WORD_CHARS
+            ratio = OCC_BLOCK // blk
+            wpb = blk // WORD_CHARS
             B128 = fm.occ.shape[0] - 1
             w128 = fm.bwt_words.reshape(-1, OCC_BLOCK // WORD_CHARS)
-            n_rows_tbl = 2 * B128 + 1
-            occ64 = np.zeros((n_rows_tbl, 4), np.uint32)
-            occ64[0 : 2 * B128 + 1 : 2] = fm.occ.astype(np.uint32)
-            first_half = w128[:, : OCC_BLOCK // (2 * WORD_CHARS)]
-            half_cnt = np.zeros((B128, 4), np.uint32)
-            for c in range(4):
-                pat = np.uint32(c * 0x55555555)
-                x = ~(first_half ^ pat)
-                mm_ = x & (x >> np.uint32(1)) & np.uint32(0x55555555)
-                half_cnt[:, c] = np.bitwise_count(mm_).sum(
-                    axis=1, dtype=np.uint32
+            n_rows_tbl = ratio * B128 + 1
+            occS = np.zeros((n_rows_tbl, 4), np.uint32)
+            occS[0 : ratio * B128 + 1 : ratio] = fm.occ.astype(np.uint32)
+            # sub-block checkpoints: prefix popcounts over the host
+            # block's word groups
+            pref = np.zeros((B128, 4), np.uint32)
+            for q in range(1, ratio):
+                wq = w128[:, (q - 1) * wpb : q * wpb]
+                for c in range(4):
+                    pat = np.uint32(c * 0x55555555)
+                    x = ~(wq ^ pat)
+                    mm_ = x & (x >> np.uint32(1)) & np.uint32(0x55555555)
+                    pref[:, c] += np.bitwise_count(mm_).sum(
+                        axis=1, dtype=np.uint32
+                    )
+                occS[q : ratio * B128 : ratio] = (
+                    fm.occ[:B128].astype(np.uint32) + pref
                 )
-            occ64[1 : 2 * B128 + 1 : 2] = (
-                fm.occ[:B128].astype(np.uint32) + half_cnt
-            )
-            words64 = fm.bwt_words.reshape(-1, wpb)
-            w64 = np.concatenate(
-                [words64, np.zeros((2, wpb), np.uint32)]
+            wordsS = fm.bwt_words.reshape(-1, wpb)
+            wS = np.concatenate(
+                [wordsS, np.zeros((2, wpb), np.uint32)]
             )
             occ_fused = np.zeros(
                 (n_rows_tbl, 4 + 2 * wpb), dtype=np.uint32
             )
-            occ_fused[:, :4] = occ64
-            occ_fused[:, 4 : 4 + wpb] = w64[:n_rows_tbl]
-            occ_fused[:, 4 + wpb :] = w64[1 : n_rows_tbl + 1]
+            occ_fused[:, :4] = occS
+            occ_fused[:, 4 : 4 + wpb] = wS[:n_rows_tbl]
+            occ_fused[:, 4 + wpb :] = wS[1 : n_rows_tbl + 1]
         else:
             blk = OCC_BLOCK
             wpb128 = OCC_BLOCK // WORD_CHARS

@@ -207,7 +207,7 @@ def build_spmd_engine_step(
         walkers, wlens = build_walkers(allr, all_lens)  # [4Bl, L]
         seeds, _ = _seed_fn(
             dfm, walkers, wlens, mmp, max_seeds=max_seeds,
-            two_phase=(meta.blk == 64),
+            two_phase=(meta.blk < 128),
         )
 
         # ---- 2. SA locate (one entry per seed slot) ------------------

@@ -272,7 +272,7 @@ def build_spmd_full_engine(
         walkers, wlens = build_walkers(allr, all_lens)  # [4Bl, L]
         seeds, _ = _seed_fn(
             dfm, walkers, wlens, mmp, max_seeds=max_seeds,
-            two_phase=(meta.blk == 64),
+            two_phase=(meta.blk < 128),
         )
 
         # ---- 2. multi SA-locate (up to sa_size_threshold+1 per seed) -
