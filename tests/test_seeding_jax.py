@@ -211,3 +211,53 @@ def test_staged_walk_matches_single_run(world):
         seg_plan=((8, 4),),
     )
     assert bool(np.asarray(oflow2))
+
+
+@pytest.mark.parametrize("two_phase", [False, True])
+def test_paired_layout_matches_host(world, two_phase):
+    """The PRODUCTION walk configuration — paired 32-char occ rows,
+    in both walk modes — must reproduce the host seeder exactly.
+    Small test worlds auto-pick the classic layout, so without this
+    forced-paired case the HBM-shard code path would go untested."""
+    codes, fm, _ = world
+    dfm = DeviceFM.from_host(fm, paired=True)
+    assert dfm.blk < 128  # paired layout in force
+    rng = np.random.default_rng(12)
+    n, L = 24, 90
+    reads = np.zeros((n, L), dtype=np.uint8)
+    for b in range(n):
+        if b % 4 == 3:
+            reads[b] = rng.integers(0, 4, L)  # junk
+            continue
+        p = int(rng.integers(0, len(codes) - L))
+        r = codes[p : p + L].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            q = int(rng.integers(0, L))
+            r[q] = (r[q] + 1 + rng.integers(0, 3)) % 4
+        reads[b] = r
+    lens = np.full(n, L, np.int32)
+    walkers, wlens = make_walkers_fast(reads, lens)
+    want = _host_seed_table(walkers, wlens, fm, PARAMS)
+
+    out, _ = device_mmp_seed(
+        dfm, walkers, wlens, PARAMS, two_phase=two_phase
+    )
+    n_seeds = np.asarray(out.n_seeds)
+    off = np.asarray(out.offset)
+    lng = np.asarray(out.length)
+    slo = np.asarray(out.sa_lo)
+    scnt = np.asarray(out.sa_count)
+    for w in range(2 * n):
+        got = [
+            (int(off[w, j]), int(lng[w, j]), int(slo[w, j]), int(scnt[w, j]))
+            for j in range(int(n_seeds[w]))
+        ]
+        assert got == want.get(w, []), f"walker {w} (two_phase={two_phase})"
+
+    # locate through the paired layout must match the host FM too
+    rows = np.asarray(
+        rng.integers(1, fm.n, 256), np.int32
+    )
+    got_pos = np.asarray(device_locate(dfm, rows, fm.sa_interval))
+    want_pos = fm.locate(rows.astype(np.int64))
+    assert (got_pos == want_pos).all()
