@@ -45,7 +45,7 @@ def main() -> None:
         _, st = device_mmp_seed(
             dfm, walkers, wlens, mmp, max_seeds=max_seeds,
             max_steps=steps, finalize=False,
-            two_phase=(dfm.blk == 64),
+            two_phase=(dfm.blk < 128),
         )
         act = int(jax.device_get(st.active.sum()))
         print(
