@@ -35,6 +35,14 @@ class MmpParams:
     # it runs each read to completion on a pthread pool where only
     # TOTAL work matters (DV-DPfunctions.cpp:2394-2402). Validated by
     # the soap4/cascade parity suites; set kill_ratio=0 to disable.
+    #
+    # Sensitivity/speed dial, MEASURED on the 512 Mbp bench shard
+    # (40k read ends vs the reference binary, r4): 2.5/80 (default)
+    # 42.6k reads/s with 76/40000 read-end misses (99.81% parity;
+    # the misses are mutated reads in rollback-heavy contexts whose
+    # walkers breach the budget); 3.0/96 -> 23.7k at 10/40000;
+    # kill_ratio=0 -> 17.1k reads/s, EXACT. Small-genome fixtures
+    # (all parity suites) are exact at the default.
     kill_ratio: float = 2.5
     kill_base: int = 80
 
