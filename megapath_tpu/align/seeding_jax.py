@@ -239,28 +239,6 @@ def _mark_lookup(dfm: DeviceFM, r: jnp.ndarray):
     return hit, rank
 
 
-def _occ_arr(dfm: DeviceFM, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """#occurrences of c in bwt[0:idx); idx int32 [B].
-
-    Single-axis row gathers only (take along the block axis): TPU
-    lowers multi-index fancy gathers to scalar loops, so the words are
-    fetched as whole (wpb,)-rows and the flat occ table is indexed with
-    one computed offset per query.
-
-    The in-block count is SWAR popcount on the packed 2-bit words
-    (the 2bwt-lib BWTOccValue trick, done on the VPU): matching slots
-    of ``w XOR (c repeated)`` have both bits clear, so
-    ``~x & (~x >> 1) & 0x5555...`` marks them and one population_count
-    per word replaces decoding OCC_BLOCK chars to int32 lanes — ~16x
-    less VPU work on the seeding hot loop.
-    """
-    block = idx // dfm.blk
-    off = 4**dfm.lut_k if dfm.lut_k else 0  # LUT rows prefix the table
-    rows = jnp.take(dfm.fused_rows, block + off, axis=0)
-    rel = idx - block * dfm.blk
-    return _occ_from_rows(rows, rel, c)
-
-
 def _occ_from_rows(
     rows: jnp.ndarray, rel: jnp.ndarray, c: jnp.ndarray
 ) -> jnp.ndarray:
@@ -290,29 +268,12 @@ def _occ_from_rows(
     return base + cnt
 
 
-def _occ_full(dfm: DeviceFM, row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    adj = row - (row > dfm.primary).astype(jnp.int32)
-    return _occ_arr(dfm, adj, c)
-
-
 def _counts_of(dfm: DeviceFM, c: jnp.ndarray) -> jnp.ndarray:
     """counts[c] as a 4-way select (no gather)."""
     four = jnp.arange(4, dtype=jnp.int32)[None, :]
     return jnp.sum(
         jnp.where(four == c[:, None], dfm.counts[None, :4], 0), axis=1
     )
-
-
-def extend_backward(
-    dfm: DeviceFM, lo: jnp.ndarray, hi: jnp.ndarray, c: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    # one batched rank query for both interval ends (one gather launch)
-    C = _counts_of(dfm, c)
-    B = lo.shape[0]
-    r = _occ_full(
-        dfm, jnp.concatenate([lo, hi]), jnp.concatenate([c, c])
-    )
-    return C + r[:B], C + r[B:]
 
 
 class DeviceSeeds(NamedTuple):
@@ -372,35 +333,6 @@ def compact_walk(walkers, lens, state: SeedWalkState, idx, n_valid):
     st = SeedWalkState(*[take(f) for f in state])
     st = st._replace(active=st.active & mask)
     return take(walkers), take(lens), st
-
-
-@functools.partial(
-    jax.jit, static_argnames=("params", "max_seeds", "max_steps")
-)
-def device_mmp_seed_pairs(
-    dfm: DeviceFM,
-    reads: jnp.ndarray,  # uint8 [N, L] forward reads (both ends stacked)
-    lens: jnp.ndarray,  # int32 [N]
-    params: MmpParams,
-    max_seeds: int = 16,
-    max_steps: int | None = None,
-) -> DeviceSeeds:
-    """Like device_mmp_seed but builds the [reads; revcomp] walkers on
-    device, halving the host upload."""
-    N, L = reads.shape
-    lens = lens.astype(jnp.int32)
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    src = lens[:, None] - 1 - j
-    ok = src >= 0
-    rc = jnp.where(
-        ok,
-        3 - jnp.take_along_axis(reads.astype(jnp.int32), jnp.clip(src, 0, L - 1), axis=1),
-        0,
-    ).astype(jnp.uint8)
-    walkers = jnp.concatenate([reads, rc], axis=0)
-    wlens = jnp.concatenate([lens, lens])
-    seeds, _ = device_mmp_seed(dfm, walkers, wlens, params, max_seeds, max_steps)
-    return seeds
 
 
 @functools.partial(
