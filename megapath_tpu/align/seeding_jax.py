@@ -590,10 +590,15 @@ def device_mmp_seed(
         # through the wide phase twice — up to ~4 charged steps per
         # net char, breaching ratio 2.5), which breaks device-vs-host
         # seed parity. Because the charge is mode-invariant, the two
-        # walk modes emit IDENTICAL seeds. Junk walkers' kill point in
-        # CHARS is unchanged; their extra stall iterations are
-        # absorbed by the compaction schedule's longer first segment
-        # (_seed_seg_plan).
+        # walk modes emit IDENTICAL seeds *for walkers that finish
+        # within the outer iteration bound*. Caveat: the outer
+        # while_loop bound (max_steps / the compaction segment plan)
+        # counts ITERATIONS, stalls included, so a two-phase walker
+        # that hits the iteration cap can emit fewer/shorter seeds
+        # than it would in classic mode. _seed_seg_plan stretches the
+        # first segment to 2.1L to absorb the stall iterations, but
+        # the cap-sensitive tail is real (it is part of the measured
+        # 76/40000 production-scale misses, align/params.py).
         s = s._replace(
             steps=s.steps + (s.active & ~wide_stall).astype(jnp.int32)
         )

@@ -309,7 +309,7 @@ def merge_shard_bams(fileobjs, out_fileobj) -> None:
     concatenation in input order (first wins on duplicate SN) and the
     records re-sort by coordinate under the union ordering."""
     sq_lines: List[str] = []
-    seen = set()
+    seen: dict = {}
     other: List[str] = []
     all_lines: List[str] = []
     for f in fileobjs:
@@ -319,9 +319,18 @@ def merge_shard_bams(fileobjs, out_fileobj) -> None:
                 d = dict(
                     x.split(":", 1) for x in l.split("\t")[1:] if ":" in x
                 )
-                if d.get("SN") not in seen:
-                    seen.add(d.get("SN"))
+                sn, ln = d.get("SN"), d.get("LN")
+                if sn not in seen:
+                    seen[sn] = ln
                     sq_lines.append(l)
+                elif seen[sn] != ln:
+                    # samtools merge refuses inconsistent headers; a
+                    # silent first-wins here would emit records under a
+                    # wrong-length @SQ (coordinate-inconsistent BAM).
+                    raise ValueError(
+                        f"duplicate @SQ SN:{sn} with conflicting LN "
+                        f"({seen[sn]} vs {ln}) across shard BAMs"
+                    )
             elif not other or l not in other:
                 other.append(l)
         all_lines.extend(lines)

@@ -192,14 +192,38 @@ def hits_to_sam(
                 codes = COMPLEMENT[codes[::-1]]
             b_reads[k, : rls[k]] = codes
             w0 = int(hits.start[idx])
-            b_wins[k, : spans[k]] = ref.codes[w0 : w0 + spans[k]]
-        _, sjs, cores, _ = sw_traceback_batch(
-            b_reads, b_wins, spans, rls, params
-        )
-        cigars = [
-            (f"{int(sj)}S" if int(sj) else "") + core
-            for sj, core in zip(sjs, cores)
-        ]
+            win = ref.codes[w0 : w0 + spans[k]]
+            # a window can run past the packed text at a ref boundary;
+            # the short tail stays 255 (never matches) instead of
+            # aborting the whole batch on a shape mismatch
+            b_wins[k, : len(win)] = win
+            spans[k] = min(spans[k], len(win)) or 1
+        try:
+            _, sjs, cores, _ = sw_traceback_batch(
+                b_reads, b_wins, spans, rls, params
+            )
+            cigars = [
+                (f"{int(sj)}S" if int(sj) else "") + core
+                for sj, core in zip(sjs, cores)
+            ]
+        except Exception:
+            # degrade per row like the old scalar path: one pathological
+            # hit falls back to '{rl}M' without aborting SAM emission
+            cigars = []
+            for k in range(n):
+                try:
+                    _, sj, core, _ = sw_traceback_batch(
+                        b_reads[k : k + 1],
+                        b_wins[k : k + 1],
+                        spans[k : k + 1],
+                        rls[k : k + 1],
+                        params,
+                    )
+                    cigars.append(
+                        (f"{int(sj[0])}S" if int(sj[0]) else "") + core[0]
+                    )
+                except Exception:
+                    cigars.append(f"{int(rls[k])}M")
 
     for k, (r, e, rank, idx) in enumerate(plan):
         reads = reads1 if e == 0 else reads2

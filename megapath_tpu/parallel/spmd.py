@@ -71,7 +71,10 @@ class FMMeta(NamedTuple):
     n: int
     lut_k: int
     sa_interval: int
-    blk: int = 64  # fused-row occ block granularity (DeviceFM.blk)
+    # fused-row occ block granularity — MUST mirror DeviceFM.blk (the
+    # layout is auto-selected per table size in DeviceFM.from_host, so
+    # there is no safe default: a mismatched blk mis-slices paired rows).
+    blk: int
 
 
 def stack_fms(fms: Sequence[FMIndex]) -> Tuple[StackedFM, FMMeta]:
