@@ -45,6 +45,21 @@ class MmpParams:
     # (all parity suites) are exact at the default.
     kill_ratio: float = 2.5
     kill_base: int = 80
+    # Junk-specific early retirement (TPU-first, round 5): a walker
+    # that has spent > junk_kill_steps charged steps with NOTHING to
+    # show — no emitted seed, no storable rollback state (last_len ==
+    # 0), and a sub-minimum in-flight extension — is with overwhelming
+    # probability a wrong-strand walker whose every MMP tops out at
+    # the random-match length (~log4(n) + lut_k < seed_min_length).
+    # These grind to the progress-kill bound (~1.45L charged steps)
+    # and dominate the lockstep walk's width x steps cost; retiring
+    # them at ~0.6L cuts the walk ~30% on the 512 Mbp shard. The
+    # rule is per-walker and mode-invariant (charged steps only), so
+    # placement/device-host parity is preserved. 0 disables.
+    # MEASURED on the 512 Mbp audit (tools/parity_audit.py, r5):
+    # 64 steps -> identical read-end misses to the dial without it
+    # (76/40000) and byte-identical Kraken reports; 48 -> +1 miss.
+    junk_kill_steps: int = 64
 
 
 @dataclass(frozen=True)

@@ -137,6 +137,7 @@ def mmp_seed(
         keep = sl >= params.seed_min_length
         kidx = idx[keep]
         if len(kidx):
+            n_emitted[kidx] += 1
             out_w.append(kidx.astype(np.int32))
             out_off.append((lens[kidx] - i[kidx]).astype(np.int32))
             out_len.append(sl[keep].astype(np.int32))
@@ -156,6 +157,7 @@ def mmp_seed(
             last_len[idx] = 0
 
     wsteps = np.zeros(Wn, dtype=np.int64)  # per-walker lockstep steps
+    n_emitted = np.zeros(Wn, dtype=np.int64)  # stored seeds per walker
     limit = max_steps if max_steps is not None else int(3 * L + 64)
     for _ in range(limit):
         # progress kill (matches seeding_jax.device_mmp_seed): retire
@@ -164,6 +166,18 @@ def mmp_seed(
         if params.kill_ratio > 0:
             over = active & (wsteps > params.kill_ratio * i + params.kill_base)
             active[over] = False
+        if getattr(params, "junk_kill_steps", 0) > 0:
+            # junk-specific early retirement (matches seeding_jax):
+            # charged steps spent with no emitted seed, no rollback
+            # state, and a sub-minimum in-flight extension
+            junk = (
+                active
+                & (wsteps > params.junk_kill_steps)
+                & (n_emitted == 0)
+                & (last_len == 0)
+                & (seed_len < params.seed_min_length)
+            )
+            active[junk] = False
         act = np.flatnonzero(active)
         if len(act) == 0:
             break

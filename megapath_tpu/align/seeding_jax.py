@@ -543,6 +543,17 @@ def device_mmp_seed(
                 + jnp.float32(params.kill_base)
             )
             s = s._replace(active=s.active & ~over)
+        if getattr(params, "junk_kill_steps", 0) > 0:
+            # junk-specific early retirement (see MmpParams): charged
+            # steps spent with no emitted seed, no rollback state, and
+            # a sub-minimum in-flight extension
+            junk = (
+                (s.steps > jnp.int32(params.junk_kill_steps))
+                & (s.n_seeds == 0)
+                & (s.last_len == 0)
+                & (s.seed_len < min_len)
+            )
+            s = s._replace(active=s.active & ~junk)
         fresh = s.active & (s.seed_len == 0)
         ext = s.active & (s.seed_len != 0)
 

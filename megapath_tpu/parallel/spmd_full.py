@@ -212,6 +212,7 @@ def build_spmd_full_engine(
     params: AlignParams = AlignParams(),
     caps: SpmdCaps = SpmdCaps(),
     max_seqs: int = 64,
+    stage_stop: int = 0,
 ):
     """Compile the full engine step over the mesh.
 
@@ -222,6 +223,12 @@ def build_spmd_full_engine(
       reads1/reads2   [B, L]     P('data', None)
       lens1/lens2     [B]        P('data')
     Returns SpmdHits with [D, S, H] fields (+ [D, S] overflow).
+
+    ``stage_stop`` (probe-only, tools/spmd_probe.py): truncate the
+    program after stage k (1=walk, 2=locate, 3=cluster, 4=pair,
+    5=deep-DP, 6=SE, 7=rescue) and return a stub whose ``overflow``
+    carries a live checksum (so XLA cannot DCE the probed stages);
+    0 = the real full program.
     """
     L = read_len
     if len(params.seeding_rounds) != 1:
@@ -264,6 +271,17 @@ def build_spmd_full_engine(
         SE_cap = caps.se_factor * Bl
         overflow = jnp.int32(0)
 
+        def stub(tok):
+            """stage_stop probe return: zeros + live checksum."""
+            Hc = caps.hit_factor * Bl
+            z = jnp.zeros(Hc, jnp.int32)[None, None, :]
+            return (
+                (jnp.zeros(Hc, bool)[None, None, :],)
+                + (z,) * 8
+                + (jnp.zeros(Hc, bool)[None, None, :],)
+                + (tok.astype(jnp.int32)[None, None],)
+            )
+
         # ---- 1. seeding over [r1; r2; rc r1; rc r2] ------------------
         allr = jnp.concatenate([reads1, reads2], axis=0)
         all_lens = jnp.concatenate([lens1i, lens2i])
@@ -274,6 +292,10 @@ def build_spmd_full_engine(
             dfm, walkers, wlens, mmp, max_seeds=max_seeds,
             two_phase=(meta.blk < 128),
         )
+        if stage_stop == 1:
+            return stub(
+                seeds.n_seeds.astype(jnp.int32).sum() + seeds.sa_lo.sum()
+            )
 
         # ---- 2. multi SA-locate (up to sa_size_threshold+1 per seed) -
         slots = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
@@ -292,6 +314,8 @@ def build_spmd_full_engine(
             pvalid, seeds.sa_lo.reshape(-1)[sidx] + within, 0
         )
         pos = _locate_fn(dfm, rows.astype(jnp.int32), meta.sa_interval)
+        if stage_stop == 2:
+            return stub(pos.sum())
         walker = sidx // max_seeds
         s_off = seeds.offset.reshape(-1)[sidx].astype(jnp.int32)
         s_len = seeds.length.reshape(-1)[sidx].astype(jnp.int32)
@@ -380,6 +404,11 @@ def build_spmd_full_engine(
         cl_strand = jnp.where(cl_valid, (cl_walker >= n2), False)
         cl_pair = jnp.where(re < Bl, re, re - Bl)
         cl_end = (re >= Bl).astype(jnp.int32)
+        if stage_stop == 3:
+            return stub(
+                cl_keep.astype(jnp.int32).sum()
+                + jnp.where(cl_keep, cl_pos, 0).sum()
+            )
 
         # ---- 4. divide-gap compress + insert-window join -------------
         iota_p = jnp.arange(P_cap, dtype=jnp.int32)
@@ -477,6 +506,10 @@ def build_spmd_full_engine(
         clpos = jnp.where(cvalid, clpos_f[cord], 0)
         crpos = jnp.where(cvalid, crpos_f[cord], 0)
         cflip = jnp.where(cvalid, cflip_f[cord], 0)
+        if stage_stop == 4:
+            return stub(
+                cvalid.astype(jnp.int32).sum() + clpos.sum() + crpos.sum()
+            )
 
         # ---- 5. fused deep-DP (engine._deep_dp) ----------------------
         left_idx = jnp.where(cflip == 1, cpair + Bl, cpair)
@@ -565,6 +598,8 @@ def build_spmd_full_engine(
         dr_valid = kept & okb_r
         end_l = jnp.where(cflip == 1, 1, 0).astype(jnp.int8)
         end_r = jnp.where(cflip == 1, 0, 1).astype(jnp.int8)
+        if stage_stop == 5:
+            return stub(s1v.sum() + s2v.sum() + kept.astype(jnp.int32).sum())
 
         # ---- 6. single-end DP + mate rescue --------------------------
         todo = ~aligned  # [Bl]
@@ -617,6 +652,8 @@ def build_spmd_full_engine(
         a_seq = seq_of(a_gs)
         a_okb = (a_seq == seq_of(jnp.maximum(a_ge - 1, a_gs))) & (a_gs >= 0)
         anchor_ok = a_passed & a_okb
+        if stage_stop == 6:
+            return stub(sa.sum() + anchor_ok.astype(jnp.int32).sum())
 
         # mate rescue (engine._mate_rescue): one insert-window DP per
         # PASSING anchor. The rescue window is insert_high wide (~6x a
@@ -664,6 +701,8 @@ def build_spmd_full_engine(
         m_valid = m_passed & m_okb
         m_same = m_valid & (rs_seq == m_seq)
         m_summed = jnp.where(m_same, sm + rs_sa, sm)
+        if stage_stop == 7:
+            return stub(sm.sum() + m_valid.astype(jnp.int32).sum())
 
         # anchor norm score: rescued anchors carry the summed pair
         # score (normalizeScore) — fetch the rescue-space verdict by

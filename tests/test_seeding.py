@@ -82,7 +82,13 @@ def scalar_mmp(seq, fm, p: MmpParams):
     return out
 
 
-PARAMS = MmpParams(seed_min_length=12, reseed_len=13, good_seed_len=18)
+# the scalar oracle has no step model, so the batched machine's
+# step-budget dials (kill_ratio / junk_kill_steps) are disabled here;
+# device-vs-host parity WITH the dials runs in test_seeding_jax
+PARAMS = MmpParams(
+    seed_min_length=12, reseed_len=13, good_seed_len=18,
+    kill_ratio=0.0, junk_kill_steps=0,
+)
 
 
 @pytest.fixture(scope="module")
