@@ -226,6 +226,22 @@ class AlignEngine:
         # extra argsort/gather levels cost more than they save).
         self.seed_compact: bool = True
         self.seed_compact_min: int = 16384
+        # reference-exact rescue (round 5, see _exact_rescue): pairs
+        # ending with a zero-hit end re-run through the undialed walk,
+        # making the dialed results byte-exact vs the reference at
+        # ~dialed speed on matching-heavy workloads; junk-heavy
+        # streams flip to the direct exact walk.
+        self.exact_rescue: bool = True
+        self._exact_direct = False
+        # adaptive compaction plan (round 5): after the sibling cull,
+        # matching-heavy batches (most reads seed — the final cascade
+        # shard, the bench) go junk-free by ~1.3L iterations, so their
+        # NEXT batch uses the aggressive schedule; junk-heavy batches
+        # (typical mid-cascade NT shard: reads mostly don't match this
+        # shard, the cull has no sibling evidence to fire on) stay on
+        # the robust schedule. Promotion is measured per batch from
+        # the seeded-walker fraction; any staged overflow demotes.
+        self._plan_fast = False
         # (id, walkers_dev, lens_dev, N, Nb): the seeding walk's
         # device state, reused by deep-DP's on-device candidate gather
         self._batch_dev = None
@@ -327,8 +343,11 @@ class AlignEngine:
         orig_reads_id = id(reads)  # pre-padding identity (deep-DP key)
         # finer padding than the DP buckets: the seeding loop's cost is
         # proportional to walker count, so a 4096-grain pad beats the
-        # power-of-two bucket (40k -> 41k instead of 65k rows)
-        Nb = max(_round_up(N, 4096), 4096)
+        # power-of-two bucket (40k -> 41k instead of 65k rows); small
+        # batches (the exact-rescue subsets are typically tens of
+        # pairs) get a 512 bucket so the rescue walk doesn't pay a
+        # 4096-end minimum — two grains only, bounded compile cache
+        Nb = 512 if N <= 512 else max(_round_up(N, 4096), 4096)
         if Nb != N:
             reads = np.concatenate(
                 [reads, np.zeros((Nb - N, reads.shape[1]), reads.dtype)]
@@ -338,7 +357,15 @@ class AlignEngine:
         # chars, so L/16+2 slots bound the per-walker seed count
         max_seeds = int(min(16, max(4, L // 16 + 2)))
         mmp = mmp or self.params.mmp
-        limit = 3 * L + 64
+        # 3L+64 is the CHARGED walk bound (mode-invariant); two-phase
+        # walks need up to ~2x iterations to deliver the same charged
+        # steps (stalls charge nothing — an iteration-capped two-phase
+        # walk truncated rollback-heavy walkers, audit-measured at
+        # 2/40000 read ends), plus sibling-cull pause slack
+        charge_limit = 3 * L + 64
+        limit = (
+            2 * charge_limit + 128 if self._walk_two_phase else charge_limit
+        )
         # Straggler segmentation (compact still-active walkers after
         # ~1.4L steps and resume on the smaller batch) is implemented
         # and tested, but DISABLED by default: on the axon-tunneled
@@ -379,12 +406,16 @@ class AlignEngine:
             staged = (
                 self.seed_compact and 2 * Nb >= self.seed_compact_min
             )
-            plan = self._seed_seg_plan(2 * Nb, L) if staged else ()
+            plan = (
+                self._seed_seg_plan(2 * Nb, L, fast=self._plan_fast)
+                if staged else ()
+            )
             cap = 2 * Nb  # measured ~1.4 seeds per read end on bench
             lcap = 4 * Nb  # SA positions per batch (~2.8x seeds)
             fl = device_seed_pipeline_loc(
                 self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
                 plan, cap, lcap, two_phase=self._walk_two_phase,
+                charge_limit=charge_limit,
             )
             # stash the walk's device state for the deep-DP stage: its
             # candidate reads gather straight from the [reads; revcomp]
@@ -396,21 +427,25 @@ class AlignEngine:
             res = self._seed_pipeline_finish(fl[:-1], cap, N, Nb)
             if res is OVERFLOW and staged:
                 # staged caps exceeded (loud rare fallback): rerun the
-                # plain full-width walk through the same pipeline
+                # plain full-width walk through the same pipeline and
+                # demote to the robust plan for subsequent batches
+                self._plan_fast = False
                 fl = device_seed_pipeline_loc(
                     self.dfm, reads_d, lens_d, mmp, max_seeds, limit,
                     (), cap, lcap, two_phase=self._walk_two_phase,
+                    charge_limit=charge_limit,
                 )
                 self._batch_dev = (orig_reads_id, fl[-1], lens_d, N, Nb)
                 res = self._seed_pipeline_finish(fl[:-1], cap, N, Nb)
             if res is not None and res is not OVERFLOW:
+                self._update_plan_mode(res[0], N)
                 return res
             # flatten cap overflow (seeds complete, > cap rows): raw
             # 2-D pull of the full slot buffers
             out, st = device_mmp_seed(
                 self.dfm, *build_walkers(reads_d, lens_d), mmp,
                 max_seeds=max_seeds, max_steps=limit, finalize=True,
-                two_phase=self._walk_two_phase,
+                two_phase=self._walk_two_phase, charge_limit=charge_limit,
             )
         else:
             walkers, wlens = build_walkers(reads_d, lens_d)
@@ -457,13 +492,26 @@ class AlignEngine:
         cols = np.arange(off.shape[1])[None, :]
         mask = cols < n_seeds[:, None]
         ws, js = np.nonzero(mask)
-        return Seeds(
+        seeds = Seeds(
             walker=ws.astype(np.int32),
             offset=off[ws, js],
             length=lng[ws, js],
             sa_lo=slo[ws, js].astype(np.int64),
             sa_count=scnt[ws, js],
-        ), None
+        )
+        self._update_plan_mode(seeds, N)
+        return seeds, None
+
+    def _update_plan_mode(self, seeds, n_ends: int) -> None:
+        """Adaptive plan promotion: the fraction of walkers that
+        stored any seed separates matching-heavy batches (~0.5: every
+        end's true-strand walker seeds) from junk-heavy ones (~0.05).
+        The NEXT batch of a matching-heavy stream takes the fast
+        schedule (_seed_seg_plan fast=True); overflow demotes."""
+        if not n_ends:
+            return
+        frac = len(np.unique(seeds.walker)) / float(2 * n_ends)
+        self._plan_fast = frac >= 0.35
 
     def _device_align(
         self,
@@ -525,10 +573,13 @@ class AlignEngine:
         )
 
     @staticmethod
-    def _seed_seg_plan(Wn: int, L: int):
+    def _seed_seg_plan(Wn: int, L: int, fast: bool = False):
         """Static compaction schedule for ``device_mmp_seed_staged``:
-        (steps, cap) per level. Measured active-walker curve on the
-        512 Mbp shard (tools/active_curve.py, L=100, two-phase walk):
+        (steps, cap) per level.
+
+        ROBUST (default; holds for junk-heavy production batches):
+        measured active-walker curve on the 512 Mbp shard
+        (tools/active_curve.py, L=100, two-phase walk, pre-cull):
         1.1L -> 82%, 1.7L -> 69%, 2.0L -> 23%, 2.3L -> 18%,
         2.8L -> 14%, 3.4L -> 2.6% — a cliff at the progress-kill bound
         (~2.0L) and then a FLAT junk tail whose uncharged wide-phase
@@ -536,12 +587,29 @@ class AlignEngine:
         at 2.0L to 1/2 (margin 2.2x over the measured 23%); cut 2 at
         +0.5L to 1/4 — NOT the old 1/6, whose 1.1x margin over the
         measured tail would make junkier-than-bench production batches
-        overflow into the silent full-width rerun. The wider tail
-        segment costs ~3% more walker-steps; the safety is worth it."""
+        overflow into the silent full-width rerun.
+
+        FAST (matching-heavy batches, promoted by _update_plan_mode):
+        the sibling cull retires wrong-strand walkers of clean-sibling
+        pairs by ~2*T0 iterations. Measured cull-on curve (r5, same
+        shard/method): 0.8L -> 73.5%, 1.1L -> 55%, 1.4L -> 54%,
+        1.7L -> 49%, 2.0L -> 23%, 2.8L -> 14%, 3.4L -> 2.8% — the
+        1.1-1.7L plateau is productive walkers re-extending through
+        mid-read errors (the cull cannot and must not touch them), so
+        the early cut is bounded at ~0.72. Cuts: 1.1L -> 0.72 (1.3x
+        margin over 55%), 2.0L -> 0.30, 2.5L -> 0.20. The first
+        segment also covers the cull's resolution bound
+        (>= 2*sibling_kill_steps + 8)."""
 
         def r512(x):
             return max(512, ((x + 511) // 512) * 512)
 
+        if fast:
+            return (
+                (max(int(1.1 * L), 2 * 48 + 8), r512(int(0.72 * Wn))),
+                (max(32, int(0.9 * L)), r512(int(0.30 * Wn))),
+                (max(32, L // 2), r512(Wn // 5)),
+            )
         return (
             (int(2.0 * L), r512(Wn // 2)),
             (max(32, L // 2), r512(Wn // 4)),
@@ -672,9 +740,13 @@ class AlignEngine:
             reads_d = jnp.asarray(reads)
             lens_d = jnp.asarray(lens.astype(np.int32))
         walkers, wlens = build_walkers(reads_d, lens_d)
+        chg = 3 * L + 64
         out, _ = device_mmp_seed(
             self.dfm, walkers, wlens, mmp, max_seeds=max_seeds,
-            max_steps=3 * L + 64, finalize=True,
+            max_steps=(
+                2 * chg + 128 if self._walk_two_phase else chg
+            ),
+            charge_limit=chg, finalize=True,
             two_phase=self._walk_two_phase,
         )
         return self._seed_compact_dispatch(out, N, Nb)
@@ -850,14 +922,98 @@ class AlignEngine:
         behind the device — the aio_thread.cpp overlap, applied to the
         compute stages instead of file IO)."""
         n = len(reads1)
+        if self.exact_rescue and self._exact_direct:
+            # junk-heavy stream (measured on previous batches): the
+            # dialed pass + near-full rescue would cost ~1.4x running
+            # the exact walk outright — run exact directly, and demote
+            # back when the stream turns matching-heavy again
+            hits = self._run_exact(reads1, lens1, reads2, lens2)
+            if len(lens1):
+                have = np.zeros((2, n), bool)
+                if len(hits):
+                    have[hits.end, hits.read] = True
+                nohit = float((~(have[0] & have[1])).sum()) / n
+                if nohit < 0.3:
+                    self._exact_direct = False
+            return hits
         if (
             self.dfm is not None
             and self.chunk_pairs
             and n >= 2 * self.chunk_pairs
             and len(self.params.seeding_rounds) == 1
         ):
-            return self._align_pairs_pipelined(reads1, lens1, reads2, lens2)
-        return self._align_pairs_impl(reads1, lens1, reads2, lens2)
+            hits = self._align_pairs_pipelined(reads1, lens1, reads2, lens2)
+        else:
+            hits = self._align_pairs_impl(reads1, lens1, reads2, lens2)
+        if self.exact_rescue:
+            hits = self._exact_rescue(hits, reads1, lens1, reads2, lens2)
+        return hits
+
+    def _exact_params(self) -> AlignParams:
+        """self.params with every walk-truncation dial disabled."""
+        from dataclasses import replace as _rep
+
+        p = self.params
+        ex = lambda m: _rep(m, kill_ratio=0.0, sibling_kill_steps=0)
+        return p.with_(
+            mmp=ex(p.mmp),
+            extra_rounds=tuple(ex(m) for m in p.extra_rounds),
+        )
+
+    def _run_exact(self, reads1, lens1, reads2, lens2) -> BatchHits:
+        old = self.params
+        self.params = self._exact_params()
+        try:
+            return self._align_pairs_impl(reads1, lens1, reads2, lens2)
+        finally:
+            self.params = old
+
+    def _exact_rescue(
+        self, hits: BatchHits, reads1, lens1, reads2, lens2
+    ) -> BatchHits:
+        """Reference-exact results at dialed-walk speed (round 5).
+
+        The progress-kill/sibling dials only ever LOSE hits, and the
+        production audit shows every lost hit surfaces as a zero-hit
+        read end (76/76 at the default dial, tools/parity_audit.py).
+        So: re-run just the pairs that ended with a zero-hit end
+        through the undialed walk and splice the results in — on
+        matching-heavy batches that is a handful of pairs (0.2% on the
+        512 Mbp audit: byte-identical reports at ~full dialed speed).
+        When the rescue set exceeds half the batch (junk-heavy shard),
+        subsequent batches switch to the direct exact walk instead of
+        paying the double pass (see align_pairs)."""
+        p = self.params
+        dialed = any(
+            m.kill_ratio > 0 or getattr(m, "sibling_kill_steps", 0) > 0
+            for m in p.seeding_rounds
+        )
+        n = len(reads1)
+        if not dialed or not n:
+            return hits
+        have = np.zeros((2, n), bool)
+        if len(hits):
+            have[hits.end, hits.read] = True
+        needy = np.flatnonzero(~(have[0] & have[1]))
+        if len(needy) == 0:
+            return hits
+        if len(needy) > n // 2:
+            self._exact_direct = True
+        sub = self._run_exact(
+            reads1[needy], lens1[needy], reads2[needy], lens2[needy]
+        )
+        keep = (
+            ~np.isin(hits.read, needy) if len(hits) else
+            np.zeros(0, bool)
+        )
+        import dataclasses as _dc
+
+        old = BatchHits(
+            *[getattr(hits, f.name)[keep] for f in _dc.fields(BatchHits)]
+        )
+        if len(sub):
+            sub.read[:] = needy[sub.read]
+        return BatchHits.concat([old, sub])
 
     def _align_pairs_pipelined(
         self, reads1, lens1, reads2, lens2

@@ -45,21 +45,34 @@ class MmpParams:
     # (all parity suites) are exact at the default.
     kill_ratio: float = 2.5
     kill_base: int = 80
-    # Junk-specific early retirement (TPU-first, round 5): a walker
-    # that has spent > junk_kill_steps charged steps with NOTHING to
-    # show — no emitted seed, no storable rollback state (last_len ==
-    # 0), and a sub-minimum in-flight extension — is with overwhelming
-    # probability a wrong-strand walker whose every MMP tops out at
-    # the random-match length (~log4(n) + lut_k < seed_min_length).
-    # These grind to the progress-kill bound (~1.45L charged steps)
-    # and dominate the lockstep walk's width x steps cost; retiring
-    # them at ~0.6L cuts the walk ~30% on the 512 Mbp shard. The
-    # rule is per-walker and mode-invariant (charged steps only), so
-    # placement/device-host parity is preserved. 0 disables.
-    # MEASURED on the 512 Mbp audit (tools/parity_audit.py, r5):
-    # 64 steps -> identical read-end misses to the dial without it
-    # (76/40000) and byte-identical Kraken reports; 48 -> +1 miss.
-    junk_kill_steps: int = 64
+    # Sibling-evidence cull (TPU-first, round 5): ~50% of walkers are
+    # wrong-strand "junk" that grind ~8 charged steps per net char to
+    # the progress-kill bound and set the lockstep walk's width x
+    # steps wall clock. A naive time-based junk kill cannot separate
+    # them from LEGIT walkers blocked by a read error near the walk
+    # start (both fail every MMP at the random-match length until the
+    # error clears — measured: a 64-step no-evidence kill cost
+    # 322/40000 production misses vs 76 at the r4 default). The
+    # mode-invariant discriminator is the OPPOSITE-STRAND SIBLING: a
+    # matching read's true-strand walker shows a >= good_seed_len
+    # extension by ~charged step 30, while an error-read's sibling is
+    # itself junk. One-shot probe: when a walker's charged-step count
+    # crosses sibling_kill_steps (or it retires, whichever first) it
+    # latches (probe = seed_len >= good_seed_len; victim = no stored
+    # seed, no rollback state, sub-minimum extension). A latched
+    # victim FREEZES (uncharged) until its sibling has latched, then
+    # dies if the sibling probed true, else resumes from its frozen
+    # state. Because latch and freeze are defined purely on the
+    # per-walker charged clock, the kill set and every survivor's
+    # seed output are identical across walk modes and host/device —
+    # the audit measures the only divergence (vs the reference, which
+    # walks wrong-strand walkers to completion): a killed walker's
+    # would-be random >= min_len seeds, which cannot pass the DP
+    # threshold (score 30 needs ~30 aligned chars; a wrong-locus
+    # 17-mer extends at -1.25/char). MEASURED on the 512 Mbp audit
+    # (tools/parity_audit.py, r5): T0=48 -> the same 76/40000 misses
+    # as with the cull disabled, identical reports. 0 disables.
+    sibling_kill_steps: int = 48
 
 
 @dataclass(frozen=True)

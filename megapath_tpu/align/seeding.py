@@ -158,6 +158,10 @@ def mmp_seed(
 
     wsteps = np.zeros(Wn, dtype=np.int64)  # per-walker lockstep steps
     n_emitted = np.zeros(Wn, dtype=np.int64)  # stored seeds per walker
+    # sibling-cull latches (one-shot probe at charged step T0)
+    latched = np.zeros(Wn, dtype=bool)
+    probe = np.zeros(Wn, dtype=bool)
+    victim = np.zeros(Wn, dtype=bool)
     limit = max_steps if max_steps is not None else int(3 * L + 64)
     for _ in range(limit):
         # progress kill (matches seeding_jax.device_mmp_seed): retire
@@ -166,21 +170,39 @@ def mmp_seed(
         if params.kill_ratio > 0:
             over = active & (wsteps > params.kill_ratio * i + params.kill_base)
             active[over] = False
-        if getattr(params, "junk_kill_steps", 0) > 0:
-            # junk-specific early retirement (matches seeding_jax):
-            # charged steps spent with no emitted seed, no rollback
-            # state, and a sub-minimum in-flight extension
-            junk = (
-                active
-                & (wsteps > params.junk_kill_steps)
-                & (n_emitted == 0)
-                & (last_len == 0)
-                & (seed_len < params.seed_min_length)
+        if getattr(params, "sibling_kill_steps", 0) > 0 and Wn % 2 == 0:
+            # one-shot sibling-evidence cull (see MmpParams): latch at
+            # charged step T0 (or retirement); a latched victim
+            # freezes until its opposite-strand sibling latches, then
+            # dies iff the sibling probed >= good_seed_len evidence.
+            T0 = params.sibling_kill_steps
+            newly = ~latched & ((wsteps >= T0) | ~active)
+            probe[newly] = seed_len[newly] >= params.good_seed_len
+            victim[newly] = (
+                active[newly]
+                & (n_emitted[newly] == 0)
+                & (last_len[newly] == 0)
+                & (seed_len[newly] < params.seed_min_length)
             )
-            active[junk] = False
-        act = np.flatnonzero(active)
-        if len(act) == 0:
+            latched[newly] = True
+            half = Wn // 2
+            sib_latched = np.roll(latched, half)
+            sib_probe = np.roll(probe, half)
+            mine = active & latched & victim
+            kill = mine & sib_latched & sib_probe
+            active[kill] = False
+            # victims freeze (uncharged) until the sibling latches;
+            # on the host all active walkers charge together so the
+            # pause resolves immediately, but keep the spec exact
+            paused = mine & ~sib_latched
+        else:
+            paused = None
+        if np.count_nonzero(active) == 0:
             break
+        if paused is not None:
+            act = np.flatnonzero(active & ~paused)
+        else:
+            act = np.flatnonzero(active)
         wsteps[act] += 1
 
         fresh = act[seed_len[act] == 0]

@@ -304,6 +304,7 @@ class SeedWalkState(NamedTuple):
     n_seeds: jnp.ndarray
     pend: jnp.ndarray  # wide-interval two-phase stash (-1 = none)
     steps: jnp.ndarray  # per-walker lockstep steps spent (progress kill)
+    sib: jnp.ndarray  # sibling-cull latch: -1 unlatched, bit0 probe, bit1 victim
 
 
 @jax.jit
@@ -339,6 +340,7 @@ def compact_walk(walkers, lens, state: SeedWalkState, idx, n_valid):
     jax.jit,
     static_argnames=(
         "params", "max_seeds", "max_steps", "finalize", "two_phase",
+        "sibling", "charge_limit",
     ),
 )
 def device_mmp_seed(
@@ -351,8 +353,23 @@ def device_mmp_seed(
     state: SeedWalkState | None = None,
     finalize: bool = True,
     two_phase: bool = False,
+    sibling: bool = True,
+    charge_limit: int | None = None,
 ):
+    """``max_steps`` bounds loop ITERATIONS (compaction-plan grain);
+    ``charge_limit`` retires each walker at a CHARGED-step count —
+    the mode-invariant walk bound. Callers wanting identical seeds
+    from both walk modes pass charge_limit=3L+64 and give two-phase
+    runs a doubled iteration budget (a stall iteration charges
+    nothing, so two-phase needs up to ~2x iterations to deliver the
+    same charged steps; audit-measured: the iteration-capped
+    truncation cost 2/40000 read ends at kill=0 before this)."""
     Wn, L = walkers.shape
+    # the sibling cull needs the [fwd; rc] row pairing intact: fresh
+    # full-width walks only (a resumed/compacted segment has already
+    # had its level-0 probe; arbitrary odd-width walker sets have no
+    # sibling structure)
+    sibling = bool(sibling) and state is None and Wn % 2 == 0
     # seed metadata packs (off, len, cnt) into 12/10/10 bits of one
     # int32 — fail loudly instead of silently corrupting seeds
     if L > 1023:
@@ -435,6 +452,7 @@ def device_mmp_seed(
         n_seeds: jnp.ndarray
         pend: jnp.ndarray  # wide-interval two-phase stash (-1 = none)
         steps: jnp.ndarray  # per-walker steps spent (for the progress kill)
+        sib: jnp.ndarray  # sibling-cull latch (-1 / bit0 probe, bit1 victim)
         step: jnp.ndarray
 
     if state is None:
@@ -452,6 +470,7 @@ def device_mmp_seed(
             n_seeds=jnp.zeros(Wn, jnp.int32),
             pend=jnp.full(Wn, -1, jnp.int32),
             steps=jnp.zeros(Wn, jnp.int32),
+            sib=jnp.full(Wn, -1, jnp.int32),
             step=jnp.int32(0),
         )
     else:
@@ -537,25 +556,55 @@ def device_mmp_seed(
         # Buffered seeds are kept; the in-flight partial seed drops,
         # exactly like the 3L+64 hard-cap truncation this replaces as
         # the junk wall-clock floor.
+        if charge_limit is not None:
+            # mode-invariant hard walk bound, checked like the host
+            # loop's top-of-iteration bound: a walker that has spent
+            # charge_limit charged steps retires with its in-flight
+            # seed dropped (matching the classic-mode iteration cap,
+            # where iterations == charged). Walkers already at the
+            # read end are left to this iteration's done-emit — the
+            # host's post-loop live-emit covers exactly those.
+            s = s._replace(
+                active=s.active
+                & ((s.steps < jnp.int32(charge_limit)) | (s.i >= lens))
+            )
         if params.kill_ratio > 0:
             over = s.steps.astype(jnp.float32) > (
                 params.kill_ratio * s.i.astype(jnp.float32)
                 + jnp.float32(params.kill_base)
             )
             s = s._replace(active=s.active & ~over)
-        if getattr(params, "junk_kill_steps", 0) > 0:
-            # junk-specific early retirement (see MmpParams): charged
-            # steps spent with no emitted seed, no rollback state, and
-            # a sub-minimum in-flight extension
-            junk = (
-                (s.steps > jnp.int32(params.junk_kill_steps))
+        T0 = getattr(params, "sibling_kill_steps", 0)
+        if sibling and T0 > 0:
+            # one-shot sibling-evidence cull (see MmpParams): latch at
+            # charged step T0 or at retirement; a latched victim
+            # FREEZES (uncharged) until its opposite-strand sibling
+            # (row w +- Wn/2) latches, then dies iff the sibling
+            # probed a >= good_seed_len extension. Latch state and the
+            # freeze are functions of the per-walker charged clock
+            # only, so the kill set and all survivor outputs are
+            # mode- and placement-invariant.
+            newly = (s.sib < 0) & ((s.steps >= jnp.int32(T0)) | ~s.active)
+            probe_b = (s.seed_len >= jnp.int32(params.good_seed_len))
+            victim_b = (
+                s.active
                 & (s.n_seeds == 0)
                 & (s.last_len == 0)
                 & (s.seed_len < min_len)
             )
-            s = s._replace(active=s.active & ~junk)
-        fresh = s.active & (s.seed_len == 0)
-        ext = s.active & (s.seed_len != 0)
+            lat_val = probe_b.astype(jnp.int32) | (
+                victim_b.astype(jnp.int32) << 1
+            )
+            sibv = jnp.where(newly, lat_val, s.sib)
+            sib_other = jnp.roll(sibv, Wn // 2)
+            mine = s.active & (sibv >= 0) & ((sibv >> 1) & 1 == 1)
+            kill = mine & (sib_other >= 0) & ((sib_other & 1) == 1)
+            sib_pause = mine & (sib_other < 0)
+            s = s._replace(active=s.active & ~kill, sib=sibv)
+        else:
+            sib_pause = jnp.zeros_like(s.active)
+        fresh = s.active & (s.seed_len == 0) & ~sib_pause
+        ext = s.active & (s.seed_len != 0) & ~sib_pause
 
         # fresh: remaining-length check
         rem = lens - s.i
@@ -600,18 +649,15 @@ def device_mmp_seed(
         # walkers (a k=0 walker re-extends its rolled-back range
         # through the wide phase twice — up to ~4 charged steps per
         # net char, breaching ratio 2.5), which breaks device-vs-host
-        # seed parity. Because the charge is mode-invariant, the two
-        # walk modes emit IDENTICAL seeds *for walkers that finish
-        # within the outer iteration bound*. Caveat: the outer
-        # while_loop bound (max_steps / the compaction segment plan)
-        # counts ITERATIONS, stalls included, so a two-phase walker
-        # that hits the iteration cap can emit fewer/shorter seeds
-        # than it would in classic mode. _seed_seg_plan stretches the
-        # first segment to 2.1L to absorb the stall iterations, but
-        # the cap-sensitive tail is real (it is part of the measured
-        # 76/40000 production-scale misses, align/params.py).
+        # seed parity. Because the charge is mode-invariant and the
+        # hard walk bound is now ``charge_limit`` (in charged steps,
+        # with the iteration budget doubled for two-phase so stalls
+        # can never truncate a walker below its charged allowance —
+        # audit-measured at 2/40000 read ends before the fix), the two
+        # walk modes emit IDENTICAL seeds.
         s = s._replace(
-            steps=s.steps + (s.active & ~wide_stall).astype(jnp.int32)
+            steps=s.steps
+            + (s.active & ~wide_stall & ~sib_pause).astype(jnp.int32)
         )
 
         # Per-row column picks one-hot over the PACKED word columns
@@ -746,7 +792,7 @@ def device_mmp_seed(
     out_state = SeedWalkState(
         final.i, final.lo, final.hi, final.seed_len, final.last_lo,
         final.last_hi, final.last_len, final.active, final.out_meta,
-        final.out_lo, final.n_seeds, final.pend, final.steps,
+        final.out_lo, final.n_seeds, final.pend, final.steps, final.sib,
     )
     return seeds, out_state
 
@@ -755,6 +801,7 @@ def device_mmp_seed(
     jax.jit,
     static_argnames=(
         "params", "max_seeds", "max_steps", "seg_plan", "two_phase",
+        "charge_limit",
     ),
 )
 def device_mmp_seed_staged(
@@ -766,6 +813,7 @@ def device_mmp_seed_staged(
     max_steps: int,
     seg_plan: Tuple[Tuple[int, int], ...],
     two_phase: bool = False,
+    charge_limit: int | None = None,
 ):
     """Multi-segment walk with ON-DEVICE straggler compaction.
 
@@ -803,11 +851,27 @@ def device_mmp_seed_staged(
 
     overflow = jnp.zeros((), bool)
     spent = 0
-    # level 0: full width
+    # level 0: full width. The sibling cull (active only here — later
+    # levels are compacted, breaking the row pairing) must fully
+    # resolve within this segment: every latch lands by charged step
+    # T0, charged rate is >= 1/2 iterations (stalls alternate with
+    # completions), so 2*T0 + 8 iterations suffice.
+    T0 = getattr(params, "sibling_kill_steps", 0)
     steps0 = seg_plan[0][0]
-    seeds_full, st = device_mmp_seed(
+    if T0 > 0 and steps0 < 2 * T0 + 8:
+        raise ValueError(
+            f"seg_plan first segment {steps0} cannot resolve the "
+            f"sibling cull (needs >= {2 * T0 + 8}); lengthen it or "
+            "set sibling_kill_steps=0"
+        )
+    # the unwrapped impl: staged is itself jitted (or traced inside
+    # shard_map, where DeviceFM.primary rides as a tracer and could
+    # not hash as the inner jit's static aux)
+    _impl = device_mmp_seed.__wrapped__
+    seeds_full, st = _impl(
         dfm, walkers, lens, params, max_seeds,
         max_steps=steps0, finalize=False, two_phase=two_phase,
+        charge_limit=charge_limit,
     )
     spent += steps0
     # each later level walks a compacted subset; merges apply innermost
@@ -839,10 +903,10 @@ def device_mmp_seed_staged(
         sub_w = jnp.take(cur_w, idx, axis=0)
         sub_l = jnp.take(cur_l, idx)
         sub_st = take_state(st, idx)
-        sub_seeds, st = device_mmp_seed(
+        sub_seeds, st = _impl(
             dfm, sub_w, sub_l, params, max_seeds,
             max_steps=steps, state=sub_st, finalize=last,
-            two_phase=two_phase,
+            two_phase=two_phase, charge_limit=charge_limit,
         )
         spent += steps
         merges.append((order, inv, cap, cur_seeds))
@@ -866,7 +930,7 @@ def device_mmp_seed_staged(
     jax.jit,
     static_argnames=(
         "params", "max_seeds", "max_steps", "seg_plan", "cap",
-        "two_phase",
+        "two_phase", "charge_limit",
     ),
 )
 def device_seed_pipeline(
@@ -879,6 +943,7 @@ def device_seed_pipeline(
     seg_plan: Tuple[Tuple[int, int], ...],
     cap: int,
     two_phase: bool = False,
+    charge_limit: int | None = None,
 ):
     """ONE dispatch for the whole seeding leg: build [reads; revcomp]
     walkers, run the staged (or plain, seg_plan=()) walk, and compact
@@ -892,12 +957,12 @@ def device_seed_pipeline(
     if seg_plan:
         seeds, overflow = device_mmp_seed_staged(
             dfm, walkers, wlens, params, max_seeds, max_steps, seg_plan,
-            two_phase=two_phase,
+            two_phase=two_phase, charge_limit=charge_limit,
         )
     else:
         seeds, _ = device_mmp_seed(
             dfm, walkers, wlens, params, max_seeds, max_steps=max_steps,
-            two_phase=two_phase,
+            two_phase=two_phase, charge_limit=charge_limit,
         )
         overflow = jnp.zeros((), bool)
     # walkers ride along DEVICE-RESIDENT (the caller must NOT pull
@@ -911,7 +976,7 @@ def device_seed_pipeline(
     jax.jit,
     static_argnames=(
         "params", "max_seeds", "max_steps", "seg_plan", "cap", "lcap",
-        "two_phase",
+        "two_phase", "charge_limit",
     ),
 )
 def device_seed_pipeline_loc(
@@ -925,6 +990,7 @@ def device_seed_pipeline_loc(
     cap: int,
     lcap: int,
     two_phase: bool = False,
+    charge_limit: int | None = None,
 ):
     """device_seed_pipeline + the SA locate of every decoded position
     in the SAME program: the flat seeds' SA intervals are expanded
@@ -939,7 +1005,7 @@ def device_seed_pipeline_loc(
     device-resident [reads; revcomp] matrix (do not pull)."""
     out = device_seed_pipeline(
         dfm, reads, lens, params, max_seeds, max_steps, seg_plan, cap,
-        two_phase=two_phase,
+        two_phase=two_phase, charge_limit=charge_limit,
     )
     (n_valid, walker, offset, length, sa_lo, sa_count, overflow,
      walkers) = out

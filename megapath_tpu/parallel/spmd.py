@@ -208,9 +208,11 @@ def build_spmd_engine_step(
         allr = jnp.concatenate([reads1, reads2], axis=0)
         all_lens = jnp.concatenate([lens1, lens2]).astype(jnp.int32)
         walkers, wlens = build_walkers(allr, all_lens)  # [4Bl, L]
+        chg = 3 * walkers.shape[1] + 64
         seeds, _ = _seed_fn(
             dfm, walkers, wlens, mmp, max_seeds=max_seeds,
-            two_phase=(meta.blk < 128),
+            max_steps=(2 * chg + 128 if meta.blk < 128 else chg),
+            two_phase=(meta.blk < 128), charge_limit=chg,
         )
 
         # ---- 2. SA locate (one entry per seed slot) ------------------

@@ -47,11 +47,13 @@ from megapath_tpu.align.seeding_jax import (
     DeviceFM,
     device_locate,
     device_mmp_seed,
+    device_mmp_seed_staged,
 )
 from megapath_tpu.index.fm import FMIndex
 from megapath_tpu.ops.dp import DPParams, sw_align_auto
 
 _seed_fn = device_mmp_seed.__wrapped__
+_seed_staged_fn = device_mmp_seed_staged.__wrapped__
 _locate_fn = device_locate.__wrapped__
 
 OFF_TEXT_CODE = 4
@@ -213,6 +215,7 @@ def build_spmd_full_engine(
     caps: SpmdCaps = SpmdCaps(),
     max_seqs: int = 64,
     stage_stop: int = 0,
+    staged_walk: bool = True,
 ):
     """Compile the full engine step over the mesh.
 
@@ -288,10 +291,31 @@ def build_spmd_full_engine(
         from megapath_tpu.align.seeding_jax import build_walkers
 
         walkers, wlens = build_walkers(allr, all_lens)  # [4Bl, L]
-        seeds, _ = _seed_fn(
-            dfm, walkers, wlens, mmp, max_seeds=max_seeds,
-            two_phase=(meta.blk < 128),
-        )
+        if staged_walk:
+            # the host engine's ROBUST on-device straggler compaction
+            # (production-safe caps: active fractions hold for junk-
+            # heavy batches too) — the unstaged full-width walk was
+            # the largest single cost of the one-program path. A
+            # staged-cap overflow marks the block (loud; the pipeline
+            # backend retries the batch through an unstaged build).
+            from megapath_tpu.align.engine import AlignEngine
+
+            plan = AlignEngine._seed_seg_plan(4 * Bl, L)
+            chg = 3 * L + 64
+            seeds, w_oflow = _seed_staged_fn(
+                dfm, walkers, wlens, mmp, max_seeds,
+                max_steps=(2 * chg + 128 if meta.blk < 128 else chg),
+                seg_plan=plan, two_phase=(meta.blk < 128),
+                charge_limit=chg,
+            )
+            overflow = jnp.maximum(overflow, w_oflow.astype(jnp.int32))
+        else:
+            chg = 3 * L + 64
+            seeds, _ = _seed_fn(
+                dfm, walkers, wlens, mmp, max_seeds=max_seeds,
+                max_steps=(2 * chg + 128 if meta.blk < 128 else chg),
+                two_phase=(meta.blk < 128), charge_limit=chg,
+            )
         if stage_stop == 1:
             return stub(
                 seeds.n_seeds.astype(jnp.int32).sum() + seeds.sa_lo.sum()

@@ -811,7 +811,23 @@ class MegaPathPipeline:
             )
             sp["steps"][key] = step
         out = step(sp["sfm"], sp["ref_codes"], sp["seq_off"], r1, r2, l1, l2)
-        per_shard = spmd_hits_to_batch(out, Bl)
+        try:
+            per_shard = spmd_hits_to_batch(out, Bl)
+        except RuntimeError:
+            # cap overflow — possibly the staged walk's compaction caps
+            # on an unusually junk-heavy block: retry once through the
+            # unstaged build before giving up (loud if it persists)
+            step2 = sp["steps"].get(key + ("unstaged",))
+            if step2 is None:
+                step2 = build_spmd_full_engine(
+                    mesh, sp["meta"], L, params=sp["params"],
+                    staged_walk=False,
+                )
+                sp["steps"][key + ("unstaged",)] = step2
+            out = step2(
+                sp["sfm"], sp["ref_codes"], sp["seq_off"], r1, r2, l1, l2
+            )
+            per_shard = spmd_hits_to_batch(out, Bl)
         sp["payload"] = spmd_payload_stats(out, Bl, n_real_pairs=n)
         # pad rows (len 0) emit nothing, but never let one through
         fields = ("read", "end", "seq", "score", "raw_score", "start",

@@ -87,7 +87,7 @@ def scalar_mmp(seq, fm, p: MmpParams):
 # device-vs-host parity WITH the dials runs in test_seeding_jax
 PARAMS = MmpParams(
     seed_min_length=12, reseed_len=13, good_seed_len=18,
-    kill_ratio=0.0, junk_kill_steps=0,
+    kill_ratio=0.0, sibling_kill_steps=0,
 )
 
 

@@ -193,9 +193,10 @@ def test_staged_walk_matches_single_run(world):
     full, _ = device_mmp_seed(
         dfm, walkers, wlens, PARAMS, max_seeds=8, max_steps=limit
     )
+    # first segment >= 2 * sibling_kill_steps + 8 (cull resolution)
     out, oflow = device_mmp_seed_staged(
         dfm, walkers, wlens, PARAMS, max_seeds=8, max_steps=limit,
-        seg_plan=((80, 56), (48, 16)),
+        seg_plan=((112, 56), (48, 16)),
     )
     assert not bool(np.asarray(oflow))
     for name in ("offset", "length", "sa_lo", "sa_count", "n_seeds"):
@@ -205,9 +206,13 @@ def test_staged_walk_matches_single_run(world):
             err_msg=name,
         )
 
-    # cap smaller than the straggler count -> loud overflow
+    # cap smaller than the straggler count -> loud overflow (short
+    # first segment: disable the sibling cull it cannot resolve)
+    import dataclasses
+
+    p0 = dataclasses.replace(PARAMS, sibling_kill_steps=0)
     _, oflow2 = device_mmp_seed_staged(
-        dfm, walkers, wlens, PARAMS, max_seeds=8, max_steps=limit,
+        dfm, walkers, wlens, p0, max_seeds=8, max_steps=limit,
         seg_plan=((8, 4),),
     )
     assert bool(np.asarray(oflow2))

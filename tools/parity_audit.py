@@ -226,10 +226,13 @@ def run_ours(ref, fm, reads1, lens1, reads2, lens2, out_cfq: str):
         params = params.with_(mmp=mmp)
     log(f"our engine: mmp dial {mmp}")
     engine = AlignEngine(ref, fm, params, device_seeding=True)
-    t = time.time()
-    hits = engine.align_pairs(reads1, lens1, reads2, lens2)
-    dt = time.time() - t
-    # one timed steady pass for the throughput note
+    # two warmup passes: pass 1 compiles the robust-plan programs and
+    # promotes the fast plan + exact-rescue subprograms, pass 2
+    # compiles those; the timed pass is steady state
+    for _ in range(2):
+        t = time.time()
+        hits = engine.align_pairs(reads1, lens1, reads2, lens2)
+        log(f"warmup pass: {time.time()-t:.2f} s")
     t = time.time()
     hits = engine.align_pairs(reads1, lens1, reads2, lens2)
     dt = time.time() - t
