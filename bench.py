@@ -198,11 +198,16 @@ def bench_pipeline(ref, fm, reads1, lens1, reads2, lens2) -> float:
 
 
 def _run_passes(engine, reads1, lens1, reads2, lens2, tag, n=3):
-    """Warmup + n timed passes; returns list of pass times."""
+    """Warmup + n timed passes; returns list of pass times.
+
+    TWO warmup passes: pass 1 compiles the robust-plan programs and
+    promotes the adaptive fast plan + exact-rescue subprograms; pass 2
+    compiles those — timing from pass 3 is steady state."""
     log(f"{tag}: warmup (compiles + tunnel init)")
-    t = time.time()
-    engine.align_pairs(reads1, lens1, reads2, lens2)
-    log(f"{tag}: warmup {time.time()-t:.1f}s")
+    for _ in range(2):
+        t = time.time()
+        engine.align_pairs(reads1, lens1, reads2, lens2)
+        log(f"{tag}: warmup {time.time()-t:.1f}s")
     times = []
     for i in range(n):
         t = time.time()

@@ -605,10 +605,13 @@ class AlignEngine:
             return max(512, ((x + 511) // 512) * 512)
 
         if fast:
+            # the 1.1-1.7L plateau (~50-55% active: productive walkers
+            # re-extending through errors) bounds the mid cuts
             return (
                 (max(int(1.1 * L), 2 * 48 + 8), r512(int(0.72 * Wn))),
-                (max(32, int(0.9 * L)), r512(int(0.30 * Wn))),
-                (max(32, L // 2), r512(Wn // 5)),
+                (max(32, int(0.6 * L)), r512(int(0.61 * Wn))),
+                (max(32, int(0.3 * L)), r512(int(0.30 * Wn))),
+                (max(32, int(0.5 * L)), r512(Wn // 5)),
             )
         return (
             (int(2.0 * L), r512(Wn // 2)),
