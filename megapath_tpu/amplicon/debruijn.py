@@ -72,7 +72,15 @@ class DeBruijnGraph:
                 continue
             if len(path) > max_len:
                 continue
-            for nxt in sorted(self.edges.get(node, {}), reverse=True):
+            # explore strongest edges FIRST (stack pops last-pushed, so
+            # push weakest first): with bounded max_paths the true
+            # haplotypes must be emitted before weak error branches
+            # exhaust the budget — at amplicon depths a few spurious
+            # >=2-weight error edges otherwise explode the path count
+            # combinatorially past the cap ahead of the real alleles
+            for nxt, _w in sorted(
+                self.edges.get(node, {}).items(), key=lambda kv: (kv[1], kv[0])
+            ):
                 e = (node, nxt)
                 if e in used:  # disallow repeating an edge (cycles)
                     continue
@@ -98,7 +106,14 @@ def candidate_haplotypes(
     g.add_seq(ref_window, weight=1, is_ref=True)
     for r in reads:
         g.add_seq(r, weight=1)
-    g.prune(min_edge_weight)
+    # depth-scaled pruning: at amplicon depths, recurrent sequencing
+    # errors clear an absolute >=2 support gate (120x * 0.5% error ->
+    # several spurious branches per window); scale the edge floor to
+    # ~4% of the window's read depth so sub-allele-fraction noise is
+    # pruned while real >=5%-AF alleles always survive
+    depth_est = sum(len(r) for r in reads) / max(len(ref_window), 1)
+    mw = max(min_edge_weight, int(0.04 * depth_est))
+    g.prune(mw)
     haps = g.haplotypes(max_paths=max_paths, max_len=4 * len(ref_window))
     if ref_window not in haps:
         haps.insert(0, ref_window)

@@ -150,14 +150,33 @@ def stack_fms_exact(fms: Sequence[FMIndex]) -> Tuple[StackedFMPad, FMMetaPad]:
 
 
 class SpmdCaps(NamedTuple):
-    """Static shape caps, as multiples of the local pair count Bl."""
+    """Static shape caps, as multiples of the local pair count Bl
+    (fractional factors allowed; rows round up to a 1024 grain so the
+    Pallas DP's 128-row blocking always divides)."""
 
-    pos_factor: int = 16  # decoded SA positions per block
-    cand_factor: int = 8  # paired candidates per orientation
-    se_factor: int = 4  # single-end DP rows
-    hit_factor: int = 6  # compacted output hit rows
-    dp_factor: int = 4  # compacted deep-DP candidate rows (both orients)
-    rescue_factor: int = 2  # compacted mate-rescue rows (passing anchors)
+    pos_factor: float = 16  # decoded SA positions per block
+    cand_factor: float = 8  # paired candidates per orientation
+    se_factor: float = 4  # single-end DP rows
+    hit_factor: float = 6  # compacted output hit rows
+    dp_factor: float = 4  # compacted deep-DP candidate rows (both orients)
+    rescue_factor: float = 2  # compacted mate-rescue rows (passing anchors)
+
+
+# measured occupancy on the 512 Mbp bench workload (tools/spmd_probe):
+# real positions ~6/pair, deep-DP candidates ~2.5/pair, SE rows and
+# passing rescue anchors near zero on matching-heavy batches — the
+# default caps pay for padding (rescue alone: 2*Bl rows x 896-wide
+# windows = +1.9 s/pass at Bl=20480). The pipeline backend tries this
+# LEAN preset first and falls back to the robust defaults on overflow.
+LEAN_CAPS = SpmdCaps(
+    pos_factor=8, cand_factor=4, se_factor=0.5, hit_factor=4,
+    dp_factor=2.5, rescue_factor=0.25,
+)
+
+
+def _capn(factor: float, Bl: int) -> int:
+    """factor * Bl rounded UP to the 1024 grain (>= 1024)."""
+    return max(1024, ((int(factor * Bl) + 1023) // 1024) * 1024)
 
 
 class SpmdHits(NamedTuple):
@@ -269,14 +288,14 @@ def build_spmd_full_engine(
         lens1i = lens1.astype(jnp.int32)
         lens2i = lens2.astype(jnp.int32)
 
-        P_cap = caps.pos_factor * Bl
-        C_cap = caps.cand_factor * Bl
-        SE_cap = caps.se_factor * Bl
+        P_cap = _capn(caps.pos_factor, Bl)
+        C_cap = _capn(caps.cand_factor, Bl)
+        SE_cap = _capn(caps.se_factor, Bl)
         overflow = jnp.int32(0)
 
         def stub(tok):
             """stage_stop probe return: zeros + live checksum."""
-            Hc = caps.hit_factor * Bl
+            Hc = _capn(caps.hit_factor, Bl)
             z = jnp.zeros(Hc, jnp.int32)[None, None, :]
             return (
                 (jnp.zeros(Hc, bool)[None, None, :],)
@@ -516,7 +535,7 @@ def build_spmd_full_engine(
         # argsort packs the real rows into a dp_factor*Bl window
         # (loud overflow otherwise); everything downstream runs in the
         # compacted space, so results are row-identical.
-        C2 = caps.dp_factor * Bl
+        C2 = _capn(caps.dp_factor, Bl)
         n_cand = cvalid_f.sum()
         overflow = jnp.maximum(
             overflow, (n_cand > C2).astype(jnp.int32)
@@ -686,7 +705,7 @@ def build_spmd_full_engine(
         # window first (stable order; loud overflow), DP there, and map
         # the pair-sum back to the anchors by rank (a gather — TPU
         # scatters serialize).
-        R_cap = caps.rescue_factor * Bl
+        R_cap = _capn(caps.rescue_factor, Bl)
         n_resc = anchor_ok.sum()
         overflow = jnp.maximum(
             overflow, (n_resc > R_cap).astype(jnp.int32)
@@ -762,7 +781,7 @@ def build_spmd_full_engine(
         # to the caps instead of the hits. One stable argsort packs the
         # valid rows (original order preserved) into a hit_factor*Bl
         # window — identical row content, ~7x smaller pull.
-        H_cap = caps.hit_factor * Bl
+        H_cap = _capn(caps.hit_factor, Bl)
         Ht = valid.shape[0]
         n_hits = valid.sum()
         overflow = jnp.maximum(

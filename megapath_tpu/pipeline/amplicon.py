@@ -38,6 +38,12 @@ class AmpliconConfig:
     min_allele_frac: float = 0.2
     min_depth: int = 4
     realign_window_pad: int = 60
+    # active-region span cap (GATK analogue): indel-bearing reads
+    # project ungapped mismatch TAILS that nominate noise sites and
+    # chain-merge candidate windows into multi-hundred-bp regions the
+    # local dBG realigner cannot assemble (measured: windows up to
+    # 839 bp and a recall wipeout at 120x before the cap)
+    max_window: int = 260
     max_read_len: int = 512
 
 
@@ -406,16 +412,31 @@ class AmpliconPipeline:
             for m in mism:
                 alt_counts[g0 + int(m)][int(codes[m])] += 1
 
-        # candidate sites -> merged windows
+        # candidate sites -> merged windows. Site nomination must scale
+        # with depth (GATK's active-region detection analogue): at
+        # amplicon depths a flat ">=2 alt reads" gate nominates every
+        # position touched by sequencing errors (0.5% error x 100x
+        # depth trips it genome-wide), the windows merge into one
+        # genome-sized region and the dBG realigner has nothing local
+        # to assemble — measured as a total call wipeout at 120x.
         pad = cfg.realign_window_pad
+        site_min = lambda pos: max(
+            2, int(0.25 * cfg.min_allele_frac * depth[pos])
+        )
         sites = sorted(
             pos for pos, alts in alt_counts.items()
-            if sum(alts.values()) >= 2 and depth[pos] >= cfg.min_depth
+            if max(alts.values()) >= site_min(pos)
+            and depth[pos] >= cfg.min_depth
         )
         windows: List[Tuple[int, int]] = []
         for pos in sites:
             w0, w1 = max(0, pos - pad), min(n, pos + pad)
-            if windows and w0 <= windows[-1][1]:
+            if (
+                windows
+                and w0 <= windows[-1][1]
+                and max(windows[-1][1], w1) - windows[-1][0]
+                <= cfg.max_window
+            ):
                 windows[-1] = (windows[-1][0], max(windows[-1][1], w1))
             else:
                 windows.append((w0, w1))

@@ -803,31 +803,43 @@ class MegaPathPipeline:
         r1, r2 = pad2(reads1, L), pad2(reads2, L)
         l1, l2 = pad1(lens1), pad1(lens2)
 
+        from megapath_tpu.parallel.spmd_full import LEAN_CAPS, SpmdCaps
+
+        # escalation ladder: LEAN caps (sized to measured matching-
+        # heavy occupancy — the padded robust caps cost ~2.5x wall
+        # clock at production Bl) -> robust caps -> robust + unstaged
+        # walk. Any level's cap overflow escalates; the level that
+        # succeeds is remembered per shape so later batches start
+        # there directly.
+        ladder = (
+            ("lean", LEAN_CAPS, True),
+            ("robust", SpmdCaps(), True),
+            ("unstaged", SpmdCaps(), False),
+        )
         key = (Bl, L)
-        step = sp["steps"].get(key)
-        if step is None:
-            step = build_spmd_full_engine(
-                mesh, sp["meta"], L, params=sp["params"]
-            )
-            sp["steps"][key] = step
-        out = step(sp["sfm"], sp["ref_codes"], sp["seq_off"], r1, r2, l1, l2)
-        try:
-            per_shard = spmd_hits_to_batch(out, Bl)
-        except RuntimeError:
-            # cap overflow — possibly the staged walk's compaction caps
-            # on an unusually junk-heavy block: retry once through the
-            # unstaged build before giving up (loud if it persists)
-            step2 = sp["steps"].get(key + ("unstaged",))
-            if step2 is None:
-                step2 = build_spmd_full_engine(
-                    mesh, sp["meta"], L, params=sp["params"],
-                    staged_walk=False,
+        start = sp.setdefault("ladder_start", {}).get(key, 0)
+        per_shard = None
+        for lvl in range(start, len(ladder)):
+            tag, caps, staged = ladder[lvl]
+            skey = key + (tag,)
+            step = sp["steps"].get(skey)
+            if step is None:
+                step = build_spmd_full_engine(
+                    mesh, sp["meta"], L, params=sp["params"], caps=caps,
+                    staged_walk=staged,
                 )
-                sp["steps"][key + ("unstaged",)] = step2
-            out = step2(
+                sp["steps"][skey] = step
+            out = step(
                 sp["sfm"], sp["ref_codes"], sp["seq_off"], r1, r2, l1, l2
             )
-            per_shard = spmd_hits_to_batch(out, Bl)
+            try:
+                per_shard = spmd_hits_to_batch(out, Bl)
+                sp["ladder_start"][key] = lvl
+                break
+            except RuntimeError:
+                if lvl == len(ladder) - 1:
+                    raise
+                continue
         sp["payload"] = spmd_payload_stats(out, Bl, n_real_pairs=n)
         # pad rows (len 0) emit nothing, but never let one through
         fields = ("read", "end", "seq", "score", "raw_score", "start",

@@ -94,9 +94,20 @@ def ensure_refbuild() -> None:
 
 
 def audit_dir() -> str:
-    from tools.build_bench_shard import workload_hash
+    # keyed by the DATA parameters only (not index-layout knobs like
+    # sa_interval/lut_k): the reference index + cfq in this cache are
+    # functions of the text and reads alone, and the 2bwt build costs
+    # ~400 s — layout sweeps must not invalidate it
+    import hashlib
 
-    d = os.path.join(CACHE, f"audit_{workload_hash()}")
+    from tools import build_bench_shard as B
+
+    key = json.dumps(
+        [B.BIG_SEQS, B.BIG_SEQ_LEN, B.BIG_PAIRS, B.READ_LEN, B.INSERT,
+         B.SEED]
+    )
+    h = hashlib.sha256(key.encode()).hexdigest()[:10]
+    d = os.path.join(CACHE, f"audit_data_{h}")
     os.makedirs(d, exist_ok=True)
     return d
 

@@ -8,6 +8,7 @@ Honest sync = jax.device_get of the output (block_until_ready is a
 no-op on the axon backend, CLAUDE.md).
 
 Env:
+  LEAN=1             use parallel.spmd_full.LEAN_CAPS
   STAGES="1,2,5,0"   stages to run (default all; 0 = full program)
   BL=20480           local pair count
   PASSES=2           timed passes per stage (best-of)
@@ -56,9 +57,13 @@ def main() -> None:
     L = r1.shape[1]
 
     caps = SpmdCaps()
+    if os.environ.get("LEAN"):
+        from megapath_tpu.parallel.spmd_full import LEAN_CAPS
+
+        caps = LEAN_CAPS
     if os.environ.get("CAPS"):
         kv = dict(
-            (p.split("=")[0], int(p.split("=")[1]))
+            (p.split("=")[0], float(p.split("=")[1]))
             for p in os.environ["CAPS"].split(",")
         )
         caps = SpmdCaps(
