@@ -267,6 +267,8 @@ def build_spmd_full_engine(
         jnp.int32(params.cutoff_lower_bound),
     )
 
+    from megapath_tpu.align.device import gather_windows_packed
+
     def local_step(fm_leaves, primary, true_n, ref_local, seq_off,
                    reads1, reads2, lens1, lens2):
         dfm = DeviceFM(
@@ -565,10 +567,11 @@ def build_spmd_full_engine(
         starts_r = crpos - margin_r
 
         def win(starts, width):
-            idx = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
-            ok = (idx >= 0) & (idx < dfm.n)
-            w = jnp.take(ref, jnp.clip(idx, 0, ref.shape[0] - 1), axis=0)
-            return jnp.where(ok, w, OFF_TEXT_CODE).astype(jnp.uint8)
+            # packed-word gather (align.device.gather_windows_packed):
+            # width/16+1 uint32 rows per window instead of width byte
+            # gathers — the gather unit charges per ROW, so the
+            # element-wise form dominated the DP stages' probe deltas
+            return gather_windows_packed(ref, dfm.n, starts, width)
 
         def full_dp(reads_, lens_, starts_, wl_, width):
             """Window gather + fwd DP + reverse start-finding DP
@@ -851,9 +854,19 @@ def place_spmd_full_inputs(mesh: Mesh, sfm: StackedFMPad, ref_codes,
     )
     return (
         placed,
-        jax.device_put(jnp.asarray(ref_codes), sh2),
+        jax.device_put(jnp.asarray(pack_ref_rows(ref_codes)), sh2),
         jax.device_put(jnp.asarray(seq_offsets), sh2),
     )
+
+
+def pack_ref_rows(ref_codes) -> np.ndarray:
+    """[S, N] byte codes -> [S, ceil(N/16)] packed uint32 words — the
+    step program's shard-text input format (the DP stages' window
+    gathers fetch word rows; the resident table is also 4x smaller)."""
+    from megapath_tpu.align.device import pack_ref_words
+
+    rc = np.asarray(ref_codes)
+    return np.stack([pack_ref_words(r) for r in rc])
 
 
 def pad_ref_codes(refs: Sequence[np.ndarray]) -> np.ndarray:

@@ -491,19 +491,23 @@ class AmpliconPipeline:
                     window, hap, self.target_engine.params
                 ):
                     gpos = w0 + vpos
-                    # per-site AF: alt reads covering the site / pileup
-                    # depth at the site (window totals undercount AF
-                    # for reads that never reach the locus)
-                    covers = (
+                    # per-site AF over the SCORED WINDOW SET: both the
+                    # alt count and the denominator come from the same
+                    # (possibly capped) read sample — dividing the
+                    # window-sampled alt count by the genome-wide
+                    # pileup depth understated het AFs ~2x and starved
+                    # real calls at amplicon depths
+                    cov_all = (
                         has_score
-                        & (ra.best_hap == hj)
                         & (span_arr[:, 0] <= gpos)
                         & (span_arr[:, 1] > gpos)
                     )
+                    covers = cov_all & (ra.best_hap == hj)
                     site_alt = int(covers.sum())
+                    site_cov = max(int(cov_all.sum()), site_alt, 1)
                     site_depth = max(int(depth[gpos]), site_alt)
                     if site_alt < max(
-                        2, cfg.min_allele_frac * site_depth
+                        2, cfg.min_allele_frac * site_cov
                     ):
                         continue
                     seq_idx, local = ref.local_pos(np.array([gpos]))

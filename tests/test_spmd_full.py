@@ -51,6 +51,7 @@ def _run_spmd(refs, fms, reads1, reads2, lens, params, L, caps=None,
     from megapath_tpu.parallel.spmd_full import (
         SpmdCaps,
         build_spmd_full_engine,
+        pack_ref_rows,
         pad_ref_codes,
         pad_seq_offsets,
         spmd_hits_to_batch,
@@ -62,9 +63,9 @@ def _run_spmd(refs, fms, reads1, reads2, lens, params, L, caps=None,
     step = build_spmd_full_engine(
         mesh, meta, L, params=params, caps=caps or SpmdCaps()
     )
-    ref_codes = pad_ref_codes([r.codes for r in refs])
+    ref_words = pack_ref_rows(pad_ref_codes([r.codes for r in refs]))
     seq_off = pad_seq_offsets([r.offsets for r in refs])
-    out = step(sfm, ref_codes, seq_off, reads1, reads2, lens,
+    out = step(sfm, ref_words, seq_off, reads1, reads2, lens,
                lens if lens2 is None else lens2)
     Bl = reads1.shape[0] // mesh.shape["data"]
     return spmd_hits_to_batch(out, Bl)
