@@ -420,3 +420,124 @@ def test_run_files_spmd_backend_with_bam(world, tmp_path):
         header, lines = read_bam(f)
     assert len(lines) >= 2 * len(r1)
     assert pipe._spmd["payload"]["hit_rows"] > 0
+
+
+def test_e2e_sensitivity_fdr_gate():
+    """Tolerance gate on the end-to-end evaluation (VERDICT r4 item 4):
+    a scaled-down version of tools/e2e_eval.py's simulated community
+    (uneven abundance, read errors, decoy genomes). The full-size run
+    against the reference pipeline is recorded in EVAL.md (both
+    pipelines: sensitivity 1.0, FDR 0.0, byte-identical reports); this
+    gate holds our pipeline to that measured operating point."""
+    import numpy as np
+
+    from megapath_tpu.index.fm import build_fm_index
+    from megapath_tpu.index.pack import pack_fasta
+    from megapath_tpu.io.fastq import FastqRecord
+    from megapath_tpu.pipeline.megapath import (
+        MegaPathPipeline,
+        PipelineConfig,
+    )
+    from megapath_tpu.taxonomy.taxdb import TaxDB
+
+    rng = np.random.default_rng(67)
+    decode = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_species, n_decoys, glen, L, ins = 10, 2, 60_000, 100, 320
+    genomes = [
+        rng.integers(0, 4, glen).astype(np.uint8)
+        for _ in range(n_species + n_decoys)
+    ]
+    ref = pack_fasta(
+        [
+            FastqRecord(f"genome{i}", decode[g].tobytes().decode(), "")
+            for i, g in enumerate(genomes)
+        ]
+    )
+    fm = build_fm_index(ref.codes, sa_interval=8, lut_k=8)
+
+    import io as _io
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/nodes.dmp", "w") as f:
+            f.write("1\t|\t1\t|\tno rank\t|\t\n2\t|\t1\t|\tsuperkingdom\t|\t\n")
+            for i in range(n_species + n_decoys):
+                f.write(f"{10+i}\t|\t2\t|\tspecies\t|\t\n")
+        with open(f"{d}/names.dmp", "w") as f:
+            f.write(
+                "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+                "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+            )
+            for i in range(n_species + n_decoys):
+                f.write(f"{10+i}\t|\tSpecies {i}\t|\t\t|\tscientific name\t|\n")
+        with open(f"{d}/acc2tid.map", "w") as f:
+            f.write("accession\taccession.version\ttaxid\tgi\n")
+            for i in range(n_species + n_decoys):
+                f.write(f"genome{i}\tgenome{i}.1\t{10+i}\t0\n")
+        db = TaxDB(size=4096)
+        db.read_nodes(f"{d}/nodes.dmp")
+        db.read_names(f"{d}/names.dmp")
+        db.read_acc2tid(f"{d}/acc2tid.map")
+
+    w = np.logspace(0, -2.5, n_species)
+    w /= w.sum()
+    counts = rng.multinomial(600, w)
+    comp = np.array([3, 2, 1, 0], np.uint8)
+    recs1, recs2, truth = [], [], {}
+    i = 0
+    for sp in range(n_species):
+        g = genomes[sp]
+        for _ in range(counts[sp]):
+            p = int(rng.integers(0, glen - ins))
+            r1 = g[p : p + L].copy()
+            r2 = comp[g[p + ins - L : p + ins][::-1]].copy()
+            for arr in (r1, r2):
+                for _ in range(int(rng.binomial(L, 0.005))):
+                    q = int(rng.integers(0, L))
+                    arr[q] = (arr[q] + 1 + rng.integers(0, 3)) % 4
+            name = f"rd{i:05d}"
+            truth[name] = 10 + sp
+            recs1.append(
+                FastqRecord(name, decode[r1].tobytes().decode(), "I" * L)
+            )
+            recs2.append(
+                FastqRecord(name, decode[r2].tobytes().decode(), "I" * L)
+            )
+            i += 1
+
+    pipe = MegaPathPipeline(
+        [(ref, fm)], db,
+        config=PipelineConfig(
+            read_len=L, skip_human=True, device_seeding=True, max_read_len=L
+        ),
+    )
+    res = pipe.run_records(recs1, recs2)
+
+    tp = fp = fn = 0
+    for rec in res.lsam_id:
+        t = truth.get(rec.name)
+        if t is None:
+            continue
+        if rec.score < 40 or not rec.hits:
+            fn += 1
+            continue
+        tids = {int(float(x)) for _, x in rec.hits}
+        if t in tids:
+            tp += 1
+            fp += len(tids) - 1
+        else:
+            fn += 1
+            fp += len(tids)
+    sens = tp / max(tp + fn, 1)
+    fdr = fp / max(tp + fp, 1)
+    assert sens >= 0.99, (tp, fn)
+    assert fdr <= 0.01, (tp, fp)
+    # every sampled species with >= 5 pairs must appear in the report
+    want_sp = {10 + s for s in range(n_species) if counts[s] >= 5}
+    got_sp = set()
+    for line in res.ra_report.splitlines():
+        c = line.split("\t")
+        if len(c) >= 6 and c[3] == "S" and int(c[1]) > 0:
+            got_sp.add(int(c[4]))
+    assert want_sp <= got_sp, want_sp - got_sp
+    assert not (got_sp - {10 + s for s in range(n_species)}), "false species"

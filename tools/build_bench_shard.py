@@ -36,7 +36,11 @@ READ_LEN = 100
 INSERT = 350
 SEED = 23
 LUT_K = int(os.environ.get("BIG_LUT_K", "8"))
-SA_INTERVAL = 8
+# sa_interval 4 (was 8): the locate LF-walk is gather-latency-bound at
+# sa_interval+1 lockstep iterations over the expanded position rows;
+# halving the interval costs +256 MB HBM (n/4 int32 samples) on a
+# 16 GB chip and cuts the measured locate stage ~2x (r5)
+SA_INTERVAL = int(os.environ.get("BIG_SA_INTERVAL", "4"))
 
 
 def workload_hash() -> str:
