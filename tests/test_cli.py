@@ -191,3 +191,79 @@ def test_vcf_writer(tmp_path):
     text = buf.getvalue()
     assert "##fileformat=VCFv4.2" in text
     assert "chr1\t10\t.\tA\tT\t95\tPASS\tDP=20;AC=19\tGT:AD\t1/1:1,19" in text
+
+
+def test_build_db_end_to_end(tmp_path, capsys, monkeypatch):
+    """One-command raw-NT -> curated sharded indexes (VERDICT r4 item
+    8): createDB curation drops artificial/unmapped sequences, filterDB
+    drops the named taxon, shards get real loadable indexes."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+
+    def seq(n):
+        return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+    nt = tmp_path / "nt.fa"
+    nt.write_text(
+        f">AC001.1 Escherichia-like thing\n{seq(4000)}\n"
+        f">AC002.1 synthetic construct vector\n{seq(3000)}\n"  # artificial
+        f">AC003.1 Dropme species genome\n{seq(3500)}\n"  # excluded taxon
+        f">AC999.1 unmapped accession\n{seq(2000)}\n"  # no acc2tid row
+    )
+    uv = tmp_path / "uv.fa"
+    uv.write_text(f">UV001.1 UniVec segment\n{seq(1500)}\n")
+    nodes = tmp_path / "nodes.dmp"
+    nodes.write_text(
+        "1\t|\t1\t|\tno rank\t|\t\n"
+        "2\t|\t1\t|\tsuperkingdom\t|\t\n"
+        "100\t|\t2\t|\tspecies\t|\t\n"
+        "200\t|\t28384\t|\tspecies\t|\t\n"
+        "28384\t|\t1\t|\tno rank\t|\t\n"  # 'artificial sequences' root
+        "300\t|\t2\t|\tspecies\t|\t\n"
+    )
+    names = tmp_path / "names.dmp"
+    names.write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+        "100\t|\tEscherichia thing\t|\t\t|\tscientific name\t|\n"
+        "200\t|\tsynthetic construct\t|\t\t|\tscientific name\t|\n"
+        "28384\t|\tartificial sequences\t|\t\t|\tscientific name\t|\n"
+        "300\t|\tDropme species\t|\t\t|\tscientific name\t|\n"
+    )
+    acc = tmp_path / "acc2tid.map"
+    acc.write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        "AC001\tAC001.1\t100\t0\n"
+        "AC002\tAC002.1\t200\t0\n"
+        "AC003\tAC003.1\t300\t0\n"
+        "UV001\tUV001.1\t100\t0\n"
+    )
+    out_prefix = str(tmp_path / "db" / "nt")
+    (tmp_path / "db").mkdir()
+    rc, out = run_cli(
+        [
+            "build-db", "--nt", str(nt), "--univec", str(uv),
+            "--nodes", str(nodes), "--names", str(names),
+            "--acc2tid", str(acc), "--exclude-taxa", "Dropme species",
+            "--out-prefix", out_prefix, "--shard-bp", "5000",
+            "--sa-interval", "4", "--lut-k", "6",
+        ],
+        capsys=capsys,
+    )
+    assert rc == 0
+    curated = (tmp_path / "db" / "nt.curated.fa").read_text()
+    assert "AC001" in curated
+    assert "AC002" not in curated  # artificial sequences
+    assert "AC003" not in curated  # excluded taxon
+    assert "AC999" not in curated  # no taxonomy mapping
+    assert "UV001" in curated  # UniVec appended
+    pairs = [l.split("\t") for l in out.strip().splitlines() if "\t" in l]
+    assert len(pairs) >= 2  # 5.5 kbp curated at 5 kbp/shard -> 2 shards
+    from megapath_tpu.index.fm import FMIndex
+    from megapath_tpu.index.pack import PackedReference
+
+    for rp, fp in pairs:
+        ref = PackedReference.load(rp)
+        fm = FMIndex.load(fp)
+        assert fm.n == len(ref.codes)
