@@ -170,3 +170,68 @@ def cleanup_contaminants(
             )
         )
     return out, removed
+
+
+def japsa_to_kraken_report(
+    taxdb,
+    lines: "Iterable[str]",
+    taxid_index: int = 4,
+    aligned_index: int = 8,
+) -> str:
+    """Japsa nanopore species-typing TSV -> Kraken-style report
+    (cc/Japsa/genKrakenReportFromJapsaOutput.cpp — not in the reference
+    Makefile, kept for surface completeness). First line is a header;
+    each row contributes its 'aligned' count at its taxid, clade counts
+    accumulate up the lineage, and rows print DFS (children by clade
+    count descending; ties broken by taxid — the C++ uses an unstable
+    sort over unordered_set, so tie order there is unspecified)."""
+    clade = {}
+    stay = {}
+    children = {}
+    tot = 0
+    it = iter(lines)
+    next(it, None)  # header
+    for line in it:
+        cols = line.rstrip("\n").split("\t")
+        if len(cols) <= max(taxid_index, aligned_index):
+            continue
+        tid = int(cols[taxid_index])
+        aligned = int(float(cols[aligned_index]))
+        stay[tid] = aligned  # assignment, like the C++ (last row wins)
+        tot += aligned
+        clade[tid] = clade.get(tid, 0) + aligned
+        t = tid
+        while t not in (0, 1):
+            p = int(taxdb.parent[t]) if t < len(taxdb.parent) else 0
+            children.setdefault(p, set()).add(t)
+            t = p
+            clade[t] = clade.get(t, 0) + aligned
+
+    RANKS = ("domain", "kingdom", "phylum", "class", "order", "family",
+             "genus", "species")
+
+    def level_code(tid: int) -> str:
+        r = taxdb.rank_of(tid)
+        if r == "superkingdom":
+            return "D"
+        return r[0].upper() if r in RANKS else "-"
+
+    out = ["prec\tn-clade\tn-stay\tlevel\ttaxonid\tdepth\tname"]
+
+    def emit(tid: int, depth: int) -> None:
+        prec = (clade.get(tid, 0) * 100) / tot if tot else 0.0
+        name = "unclassified" if tid == 0 else taxdb.name_of(tid)
+        out.append(
+            f"{prec:.2f}\t{clade.get(tid, 0)}\t{stay.get(tid, 0)}\t"
+            f"{level_code(tid) if tid else '-'}\t{tid}\t{depth - 1}\t"
+            + "  " * depth + name
+        )
+        kids = sorted(
+            children.get(tid, ()), key=lambda t: (-clade.get(t, 0), t)
+        )
+        for k in kids:
+            emit(k, depth + 1)
+
+    emit(0, 1)
+    emit(1, 1)
+    return "\n".join(out) + "\n"

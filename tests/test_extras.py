@@ -147,3 +147,30 @@ def test_stage_timer():
         pass
     assert "TIMER" in buf.getvalue()
     assert "x" in t.summary()
+
+
+def test_japsa_to_kraken_report(tmp_path):
+    from megapath_tpu.classify.extras import japsa_to_kraken_report
+    from megapath_tpu.taxonomy.taxdb import TaxDB
+    import pathlib
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    db = TaxDB(size=4096)
+    db.read_nodes(fx / "nodes.dmp")
+    db.read_names(fx / "names.dmp")
+    # pick two known species tids from the mini taxonomy
+    sp = [t for t in range(len(db.parent)) if db.rank_of(t) == "species"][:2]
+    assert len(sp) == 2
+    lines = [
+        "header\tcols",
+        f"x\tx\tx\tx\t{sp[0]}\tx\tx\tx\t70",
+        f"x\tx\tx\tx\t{sp[1]}\tx\tx\tx\t30",
+    ]
+    rpt = japsa_to_kraken_report(db, lines)
+    rows = rpt.splitlines()
+    assert rows[0].startswith("prec\t")
+    assert any(f"\t{sp[0]}\t" in r and "70.00" in r for r in rows)
+    assert any(f"\t{sp[1]}\t" in r and "30.00" in r for r in rows)
+    # clade counts roll up: root row carries 100%
+    root = [r for r in rows if "\t1\t0\t" in r]
+    assert root and root[0].startswith("100.00\t100\t")
