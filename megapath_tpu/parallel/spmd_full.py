@@ -170,7 +170,9 @@ class SpmdCaps(NamedTuple):
 # LEAN preset first and falls back to the robust defaults on overflow.
 LEAN_CAPS = SpmdCaps(
     pos_factor=8, cand_factor=4, se_factor=0.5, hit_factor=4,
-    dp_factor=2.5, rescue_factor=0.25,
+    # stage-4 probe token on the bench workload: 18329 real candidates
+    # for Bl=20480 (~0.9/pair); 1.25*Bl keeps a 1.4x margin
+    dp_factor=1.25, rescue_factor=0.25,
 )
 
 
@@ -235,6 +237,7 @@ def build_spmd_full_engine(
     max_seqs: int = 64,
     stage_stop: int = 0,
     staged_walk: bool = True,
+    plan_fast: bool = False,
 ):
     """Compile the full engine step over the mesh.
 
@@ -321,7 +324,7 @@ def build_spmd_full_engine(
             # backend retries the batch through an unstaged build).
             from megapath_tpu.align.engine import AlignEngine
 
-            plan = AlignEngine._seed_seg_plan(4 * Bl, L)
+            plan = AlignEngine._seed_seg_plan(4 * Bl, L, fast=plan_fast)
             chg = 3 * L + 64
             seeds, w_oflow = _seed_staged_fn(
                 dfm, walkers, wlens, mmp, max_seeds,
@@ -552,9 +555,8 @@ def build_spmd_full_engine(
         crpos = jnp.where(cvalid, crpos_f[cord], 0)
         cflip = jnp.where(cvalid, cflip_f[cord], 0)
         if stage_stop == 4:
-            return stub(
-                cvalid.astype(jnp.int32).sum() + clpos.sum() + crpos.sum()
-            )
+            # token = the REAL candidate count (cap-occupancy probe)
+            return stub(cvalid.astype(jnp.int32).sum())
 
         # ---- 5. fused deep-DP (engine._deep_dp) ----------------------
         left_idx = jnp.where(cflip == 1, cpair + Bl, cpair)
@@ -784,8 +786,10 @@ def build_spmd_full_engine(
         # to the caps instead of the hits. One stable argsort packs the
         # valid rows (original order preserved) into a hit_factor*Bl
         # window — identical row content, ~7x smaller pull.
-        H_cap = _capn(caps.hit_factor, Bl)
         Ht = valid.shape[0]
+        # the lean DP/SE/rescue caps can shrink the assembled table
+        # below the nominal hit cap — compacting past Ht is a no-op
+        H_cap = min(_capn(caps.hit_factor, Bl), Ht)
         n_hits = valid.sum()
         overflow = jnp.maximum(
             overflow, (n_hits > H_cap).astype(jnp.int32)

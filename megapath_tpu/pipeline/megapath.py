@@ -812,21 +812,23 @@ class MegaPathPipeline:
         # succeeds is remembered per shape so later batches start
         # there directly.
         ladder = (
-            ("lean", LEAN_CAPS, True),
-            ("robust", SpmdCaps(), True),
-            ("unstaged", SpmdCaps(), False),
+            # fast walk plan + lean caps: matching-heavy steady state
+            ("lean-fast", LEAN_CAPS, True, True),
+            ("lean", LEAN_CAPS, True, False),
+            ("robust", SpmdCaps(), True, False),
+            ("unstaged", SpmdCaps(), False, False),
         )
         key = (Bl, L)
         start = sp.setdefault("ladder_start", {}).get(key, 0)
         per_shard = None
         for lvl in range(start, len(ladder)):
-            tag, caps, staged = ladder[lvl]
+            tag, caps, staged, fast = ladder[lvl]
             skey = key + (tag,)
             step = sp["steps"].get(skey)
             if step is None:
                 step = build_spmd_full_engine(
                     mesh, sp["meta"], L, params=sp["params"], caps=caps,
-                    staged_walk=staged,
+                    staged_walk=staged, plan_fast=fast,
                 )
                 sp["steps"][skey] = step
             out = step(

@@ -9,6 +9,7 @@ no-op on the axon backend, CLAUDE.md).
 
 Env:
   LEAN=1             use parallel.spmd_full.LEAN_CAPS
+  FAST=1             fast walk compaction plan (matching-heavy)
   STAGES="1,2,5,0"   stages to run (default all; 0 = full program)
   BL=20480           local pair count
   PASSES=2           timed passes per stage (best-of)
@@ -108,7 +109,8 @@ def main() -> None:
     prev = 0.0
     for k in stages:
         step = build_spmd_full_engine(
-            mesh, meta, L, params=params, caps=caps, stage_stop=k
+            mesh, meta, L, params=params, caps=caps, stage_stop=k,
+            plan_fast=bool(os.environ.get("FAST")),
         )
         t = time.time()
         out = step(sfm, ref_dev, off_dev, rr1, rr2, ll1, ll2)
