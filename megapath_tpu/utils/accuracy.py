@@ -178,10 +178,18 @@ def _merge_intervals(iv: List[tuple]) -> tuple:
     return [tuple(m) for m in merged], cov
 
 
+def _g6(x: float) -> str:
+    """C++ ``cout << double`` default formatting (6 significant
+    digits, 'inf' for infinities)."""
+    return f"{x:.6g}"
+
+
 def m8_coverage(lines: Iterable[str]) -> str:
-    """Per-subject merged alignment intervals + covered bases
-    (/root/reference/cc/calculate_m8_cov.cpp semantics: subject-side
-    [ss,se] intervals, inclusive ends, swapped when reversed)."""
+    """calculate_m8_cov, BYTE-IDENTICAL to the reference binary
+    (/root/reference/cc/calculate_m8_cov.cpp; golden-pinned in
+    tests/test_eval_golden.py): per subject, merged [ss,se] intervals
+    (inclusive, swapped when reversed, each with a trailing ';'),
+    covered-base total, then every input interval sorted ascending."""
     per: Dict[str, List[tuple]] = {}
     for line in lines:
         cols = line.split()
@@ -193,19 +201,39 @@ def m8_coverage(lines: Iterable[str]) -> str:
         per.setdefault(cols[1], []).append((ss, se))
     out = []
     for sid in sorted(per):
-        merged, cov = _merge_intervals(per[sid])
-        ivs = ";".join(f"{a},{b}" for a, b in merged)
+        iv = sorted(per[sid])
+        merged, cov = _merge_intervals(iv)
+        ivs = "".join(f"{a},{b};" for a, b in merged)
         out.append(f"{sid}\t{ivs}\t{cov}")
+        for a, b in iv:
+            out.append(f"{a} {b}")
     return "\n".join(out) + ("\n" if out else "")
 
 
-def maplen_stats(lines: Iterable[str]) -> str:
-    """Per-target mapping-length distribution + coverage + NC50
-    (/root/reference/cc/m8_to_mapLen_hist.cpp: first hit per query,
-    query alignment lengths sorted descending; NC50 = #queries whose
-    cumulative mapping length reaches half the covered bases)."""
+def _fa_lengths(path) -> Dict[str, int]:
+    from megapath_tpu.io.fastq import read_fastx
+
+    return {r.name: len(r.seq) for r in read_fastx(path)}
+
+
+def maplen_stats(
+    lines: Iterable[str], ref_fa=None, contig_fa=None
+) -> str:
+    """m8_to_mapLen_hist, BYTE-IDENTICAL to the reference binary
+    (/root/reference/cc/m8_to_mapLen_hist.cpp; golden-pinned in
+    tests/test_eval_golden.py). Per target: a header (with the target
+    length when ``ref_fa``/``contig_fa`` FASTAs are given), one row per
+    FIRST hit of each query run — ``maplen qlen maplen/qlen
+    cumulative_subject_coverage`` in descending (maplen, index) order —
+    then the Mapping Ratio / Avg Mapping Length / NC50 summary (NC50 =
+    first maplen whose cumulative sum reaches half the target length;
+    without FASTAs lengths are 0, matching the C++'s inf ratios)."""
+    tlen = _fa_lengths(ref_fa) if ref_fa else {}
+    qlen = _fa_lengths(contig_fa) if contig_fa else {}
+    calc_avg = bool(ref_fa and contig_fa)
     intervals: Dict[str, List[tuple]] = {}
-    qlens: Dict[str, List[int]] = {}
+    q_alens: Dict[str, List[tuple]] = {}  # (maplen, index)
+    q_ids: Dict[str, List[str]] = {}
     last_q = None
     for line in lines:
         cols = line.split()
@@ -215,21 +243,36 @@ def maplen_stats(lines: Iterable[str]) -> str:
         qs, qe, ss, se = (int(cols[6]), int(cols[7]), int(cols[8]), int(cols[9]))
         if ss > se:
             ss, se = se, ss
-        intervals.setdefault(cols[1], []).append((ss, se))
-        qlens.setdefault(cols[1], []).append(abs(qe - qs) + 1)
+        sid = cols[1]
+        intervals.setdefault(sid, []).append((ss, se))
+        q_alens.setdefault(sid, []).append(
+            (abs(qe - qs) + 1, len(q_alens.get(sid, ())))
+        )
+        q_ids.setdefault(sid, []).append(cols[0])
     out = []
-    for sid in sorted(intervals):
-        _, cov = _merge_intervals(intervals[sid])
-        lens = sorted(qlens[sid], reverse=True)
-        total = sum(lens)
-        acc, nc50 = 0, 0
-        for ln in lens:
-            acc += ln
-            nc50 += 1
-            if acc * 2 >= cov:
-                break
+    for sid in sorted(q_alens):  # std::map iterates keys sorted
+        rows = sorted(q_alens[sid], reverse=True)  # (len, idx) desc
+        head = f"Target: {sid}"
+        if calc_avg:
+            head += f"\t{tlen.get(sid, 0)}"
+        out.append(head)
+        v: List[tuple] = []
+        total_map = 0.0
+        total_len = 0.0
+        nc50 = 0
+        for ln, idx in rows:
+            v.append(intervals[sid][idx])
+            ql = qlen.get(q_ids[sid][idx], 0)
+            total_len += ql
+            total_map += ln
+            _, cov = _merge_intervals(list(v))
+            ratio = ln / ql if ql else float("inf")
+            out.append(f"{ln}\t{ql}\t{_g6(ratio)}\t{cov}")
+            if nc50 == 0 and total_map >= 0.5 * tlen.get(sid, 0):
+                nc50 = ln
+        mr = total_map / total_len if total_len else float("inf")
         out.append(
-            f"Target: {sid}\tn={len(lens)}\ttotal_maplen={total}\t"
-            f"cov={cov}\tNC50={nc50}\tlens={','.join(map(str, lens))}"
+            f"Mapping Ratio: {_g6(mr)}\tAvg Mapping Length: "
+            f"{_g6(total_map / len(v))}\tNC50: {nc50}"
         )
     return "\n".join(out) + ("\n" if out else "")

@@ -142,8 +142,9 @@ def test_m8_cov(tmp_path, capsys, monkeypatch):
         "q3\ts1\t99\t20\t0\t0\t1\t20\t200\t181\t1e-9\t40\n"
     )
     rc, out = run_cli(["m8-cov", str(p)], capsys=capsys)
-    # [10,59]+[40,99] merge to [10,99] (90), [181,200] reversed (20)
-    assert out.strip() == "s1\t10,99;181,200\t110"
+    # [10,59]+[40,99] merge to [10,99] (90), [181,200] reversed (20);
+    # byte format matches the reference binary (test_eval_golden)
+    assert out.splitlines()[0] == "s1\t10,99;181,200;\t110"
 
 
 def test_maplen_hist(tmp_path, capsys, monkeypatch):
@@ -154,7 +155,11 @@ def test_maplen_hist(tmp_path, capsys, monkeypatch):
         "q2\ts1\t99\t30\t0\t0\t1\t30\t70\t99\t1e-9\t50\n"
     )
     rc, out = run_cli(["maplen-hist", str(p)], capsys=capsys)
-    assert "Target: s1" in out and "n=2" in out
+    # first-hit-per-query only (dup q1 row skipped) => 2 rows + summary
+    assert "Target: s1" in out
+    assert "NC50" in out
+    body = [l for l in out.splitlines() if "\t" in l and "Target" not in l]
+    assert len(body) == 3  # 2 per-hit rows + the summary line
 
 
 def test_count_table(tmp_path, capsys, monkeypatch, fixtures_dir=None):
