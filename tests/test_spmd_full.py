@@ -349,3 +349,48 @@ def test_spmd_full_hg_params_hit_parity(small_world):
             f"shard {s}: missing={sorted(want - got)[:5]} "
             f"extra={sorted(got - want)[:5]}"
         )
+
+
+def test_pipeline_spmd_ladder_handles_junk_heavy_batches(mini_taxdb):
+    """A batch of reads that match NOTHING in the shards (the typical
+    mid-cascade production composition) must come through the lean ->
+    robust -> unstaged escalation ladder with results identical to the
+    host engine — whichever ladder level ends up serving it."""
+    import numpy as np
+
+    from megapath_tpu.index.fm import build_fm_index
+    from megapath_tpu.index.pack import pack_fasta
+    from megapath_tpu.io.fastq import FastqRecord, read_fastx, trim_readno
+    from megapath_tpu.pipeline import MegaPathPipeline, PipelineConfig
+
+    def pack(p):
+        ref = pack_fasta(list(read_fastx(p)))
+        fm = build_fm_index(ref.codes, sa_interval=8, lut_k=8)
+        return ref, fm
+
+    nt = [pack(CAS / "shard0.fa"), pack(CAS / "shard1.fa")]
+    rng = np.random.default_rng(44)
+    decode = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qual = "I" * 80
+    recs1, recs2 = [], []
+    for i in range(24):  # junk: random 80-mers, no shard matches them
+        recs1.append(FastqRecord(
+            f"junk{i}", decode[rng.integers(0, 4, 80)].tobytes().decode(),
+            qual,
+        ))
+        recs2.append(FastqRecord(
+            f"junk{i}", decode[rng.integers(0, 4, 80)].tobytes().decode(),
+            qual,
+        ))
+    cfg = PipelineConfig(
+        read_len=80, max_read_len=80, skip_preprocess=True,
+        skip_human=True, spmd=True,
+    )
+    pipe = MegaPathPipeline(nt, mini_taxdb, config=cfg)
+    res = pipe.run_records(recs1, recs2)
+    # all junk -> every read unclassified; no crash, no silent hits
+    assert "unclassified" in res.report
+    for line in res.report.splitlines():
+        cols = line.split("\t")
+        if cols[3] == "S":
+            assert int(cols[1]) == 0, line
