@@ -77,6 +77,13 @@ class PipelineConfig:
     # tables are row-identical to the host engines', so the shared
     # tail (SPIKE/merge/reports) is byte-identical either way.
     spmd: bool = False
+    # reference-exact results (AlignEngine.exact_rescue): pairs that
+    # end with a zero-hit end re-run through the undialed walk, making
+    # every stage's hits byte-exact vs the reference at ~dialed speed
+    # on matching-heavy streams (junk-heavy streams auto-switch to the
+    # direct exact walk). Disable to trade the measured dial misses
+    # (align/params.py) for throughput on junk-heavy cascades.
+    exact: bool = True
 
     @property
     def hg_cutoff(self) -> int:
@@ -167,6 +174,8 @@ class MegaPathPipeline:
                         lazy_device=self._wave_shards or self.cfg.spmd)
             for i, (ref, fm) in enumerate(nt_shards)
         ]
+        for eng in self.nt_engines:
+            eng.exact_rescue = self.cfg.exact
         self._pool = None
         if devs and len(nt_shards) > 1 and not self.cfg.spmd:
             from concurrent.futures import ThreadPoolExecutor
@@ -182,6 +191,8 @@ class MegaPathPipeline:
             if hg_shard is not None
             else None
         )
+        if self.hg_engine is not None:
+            self.hg_engine.exact_rescue = self.cfg.exact
         # ribosome filter stage (-S): soap4 vs SILVA with -P -top 100
         # (runMegaPath.sh:155-169); pair-required scoring, no retention
         self.ribo_engine = (
@@ -194,6 +205,8 @@ class MegaPathPipeline:
             if ribo_shard is not None
             else None
         )
+        if self.ribo_engine is not None:
+            self.ribo_engine.exact_rescue = self.cfg.exact
         # per-shard seq -> species taxid (and superkingdom), vectorized
         # lookup tables for the array merge path (-1 = unknown acc)
         self._species_of: List[np.ndarray] = []
@@ -846,10 +859,23 @@ class MegaPathPipeline:
         # pad rows (len 0) emit nothing, but never let one through
         fields = ("read", "end", "seq", "score", "raw_score", "start",
                   "stop", "strand", "paired")
-        return [
+        per_shard = [
             BatchHits(*[getattr(h, f)[h.read < n] for f in fields])
             for h in per_shard
         ]
+        if self.cfg.exact:
+            # the one-program path inherits the walk dials; route its
+            # zero-hit pairs through each shard engine's exact rescue
+            # (host-side: the engines stay uncommitted in spmd mode,
+            # and the rescue subsets are tiny on matching-heavy
+            # batches) so both backends return reference-exact hits
+            per_shard = [
+                self.nt_engines[s]._exact_rescue(
+                    h, reads1[:n], lens1[:n], reads2[:n], lens2[:n]
+                )
+                for s, h in enumerate(per_shard)
+            ]
+        return per_shard
 
     def _align_shards(self, reads1, lens1, reads2, lens2, n) -> List[BatchHits]:
         """Stage 2: NT alignment over all shards.
