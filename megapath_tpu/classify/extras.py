@@ -235,3 +235,34 @@ def japsa_to_kraken_report(
     emit(0, 1)
     emit(1, 1)
     return "\n".join(out) + "\n"
+
+
+def filter_cross_family_reads(
+    taxdb, records: "Iterable[LsamRecord]", level: str = "family"
+):
+    """LSAM -> FASTQ records of reads whose hits agree at ``level``
+    (cc/filterCrossFamilyReads.cpp): each hit accession's taxid pops
+    up to the level (falling back to the last species seen when the
+    walk tops out, popUpToLevel :127-136); reads whose popped-taxid
+    set has more than one member are cross-family artifacts and are
+    dropped. Yields (name, seq, qual) FastqRecords like the C++'s
+    4-line output."""
+    from megapath_tpu.io.fastq import FastqRecord
+    from megapath_tpu.taxonomy.taxdb import get_accession, remove_version
+
+    for rec in records:
+        tax = set()
+        for _, acc in rec.hits:
+            a = remove_version(get_accession(str(acc)))
+            tid = taxdb.acc2tid.get(a)
+            if tid is None:
+                continue
+            sp_id = tid
+            t = tid
+            while t not in (0, 1) and taxdb.rank_of(t) != level:
+                if taxdb.rank_of(t) == "species":
+                    sp_id = t
+                t = int(taxdb.parent[t]) if t < len(taxdb.parent) else 0
+            tax.add(sp_id if t <= 1 else t)
+        if len(tax) <= 1:
+            yield FastqRecord(rec.name, rec.seq, rec.qual)

@@ -174,3 +174,36 @@ def test_japsa_to_kraken_report(tmp_path):
     # clade counts roll up: root row carries 100%
     root = [r for r in rows if "\t1\t0\t" in r]
     assert root and root[0].startswith("100.00\t100\t")
+
+
+def test_filter_cross_family_reads():
+    import pathlib
+
+    from megapath_tpu.classify.extras import filter_cross_family_reads
+    from megapath_tpu.taxonomy.taxdb import TaxDB
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    db = TaxDB(size=3_000_000)
+    db.read_nodes(fx / "nodes.dmp")
+    db.read_names(fx / "names.dmp")
+    db.read_acc2tid(fx / "acc2tid.map")
+    accs = sorted(db.acc2tid)
+    # two accessions in the same family vs two in different families
+    fam_of = {}
+    for a in accs:
+        t = db.acc2tid[a]
+        while t not in (0, 1) and db.rank_of(t) != "family":
+            t = int(db.parent[t])
+        fam_of[a] = t
+    same = [a for a in accs if fam_of[a] == fam_of[accs[0]]][:2]
+    other = next(a for a in accs if fam_of[a] != fam_of[accs[0]])
+    recs = [
+        LsamRecord("keep", 64, 100, "ACGT", "IIII",
+                   [(100.0, same[0]), (90.0, same[-1])]),
+        LsamRecord("drop", 64, 100, "TTTT", "IIII",
+                   [(100.0, same[0]), (90.0, other)]),
+        LsamRecord("star", 64, 0, "GGGG", "IIII", []),
+    ]
+    out = list(filter_cross_family_reads(db, recs))
+    names = [r.name for r in out]
+    assert "keep" in names and "star" in names and "drop" not in names
