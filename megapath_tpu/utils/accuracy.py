@@ -245,9 +245,8 @@ def maplen_stats(
             ss, se = se, ss
         sid = cols[1]
         intervals.setdefault(sid, []).append((ss, se))
-        q_alens.setdefault(sid, []).append(
-            (abs(qe - qs) + 1, len(q_alens.get(sid, ())))
-        )
+        rows_t = q_alens.setdefault(sid, [])
+        rows_t.append((abs(qe - qs) + 1, len(rows_t)))
         q_ids.setdefault(sid, []).append(cols[0])
     out = []
     for sid in sorted(q_alens):  # std::map iterates keys sorted
