@@ -407,7 +407,8 @@ class AlignEngine:
                 self.seed_compact and 2 * Nb >= self.seed_compact_min
             )
             plan = (
-                self._seed_seg_plan(2 * Nb, L, fast=self._plan_fast)
+                self._seed_seg_plan(2 * Nb, L, fast=self._plan_fast,
+                                    two_phase=self._walk_two_phase)
                 if staged else ()
             )
             cap = 2 * Nb  # measured ~1.4 seeds per read end on bench
@@ -573,7 +574,9 @@ class AlignEngine:
         )
 
     @staticmethod
-    def _seed_seg_plan(Wn: int, L: int, fast: bool = False):
+    def _seed_seg_plan(
+        Wn: int, L: int, fast: bool = False, two_phase: bool = True
+    ):
         """Static compaction schedule for ``device_mmp_seed_staged``:
         (steps, cap) per level.
 
@@ -604,9 +607,21 @@ class AlignEngine:
         def r512(x):
             return max(512, ((x + 511) // 512) * 512)
 
+        if fast and not two_phase:
+            # CLASSIC-mode fast plan: without wide-phase stall
+            # iterations the cull-on curve collapses earlier
+            # (measured, toy shard r5: 1.1L 50%, 1.4L 47%, 1.7L 24%,
+            # 2.0L 9.5%, 2.8L 0.9%) — cuts carry a ~1.3x margin
+            return (
+                (max(int(1.1 * L), 2 * 48 + 8), r512(int(0.65 * Wn))),
+                (max(32, int(0.6 * L)), r512(int(0.32 * Wn))),
+                (max(32, int(0.3 * L)), r512(int(0.13 * Wn))),
+                (max(32, int(0.4 * L)), r512(int(0.08 * Wn))),
+            )
         if fast:
-            # the 1.1-1.7L plateau (~50-55% active: productive walkers
-            # re-extending through errors) bounds the mid cuts
+            # TWO-PHASE: the 1.1-1.7L plateau (~50-55% active:
+            # productive walkers re-extending through errors, their
+            # iterations stall-stretched) bounds the mid cuts
             return (
                 (max(int(1.1 * L), 2 * 48 + 8), r512(int(0.72 * Wn))),
                 (max(32, int(0.6 * L)), r512(int(0.61 * Wn))),

@@ -324,7 +324,9 @@ def build_spmd_full_engine(
             # backend retries the batch through an unstaged build).
             from megapath_tpu.align.engine import AlignEngine
 
-            plan = AlignEngine._seed_seg_plan(4 * Bl, L, fast=plan_fast)
+            plan = AlignEngine._seed_seg_plan(
+                4 * Bl, L, fast=plan_fast, two_phase=(meta.blk < 128)
+            )
             chg = 3 * L + 64
             seeds, w_oflow = _seed_staged_fn(
                 dfm, walkers, wlens, mmp, max_seeds,

@@ -23,13 +23,20 @@ def main() -> None:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from tools.build_bench_shard import build
     from megapath_tpu.align.params import AlignParams
     from megapath_tpu.align.seeding_jax import (
         DeviceFM, build_walkers, device_mmp_seed,
     )
 
-    ref, fm, r1, l1, r2, l2 = build()
+    if os.environ.get("TOY"):
+        # the toy bench shard (cache-resident, CLASSIC walk mode)
+        import bench
+
+        ref, fm, r1, l1, r2, l2 = bench.build_workload()
+    else:
+        from tools.build_bench_shard import build
+
+        ref, fm, r1, l1, r2, l2 = build()
     dfm = DeviceFM.from_host(fm)
     print(f"blk={dfm.blk}", file=sys.stderr)
     L = r1.shape[1]
