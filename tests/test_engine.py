@@ -365,3 +365,55 @@ def test_staged_seed_compact_matches_plain(world):
 
     for a, b in zip(canon(want), canon(got)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_exact_rescue_modes_agree_when_dial_is_lossless():
+    """On a world where the dial loses nothing (small genome), the
+    rescued, dial-only, and direct-exact modes must produce identical
+    hit sets — the rescue is a no-op, not a perturbation."""
+    import numpy as np
+
+    from megapath_tpu.align import AlignEngine, AlignParams
+    from megapath_tpu.index.fm import build_fm_index
+    from megapath_tpu.index.pack import pack_fasta
+    from megapath_tpu.io.fastq import FastqRecord
+
+    rng = np.random.default_rng(8)
+    decode = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = rng.integers(0, 4, 60_000).astype(np.uint8)
+    ref = pack_fasta([FastqRecord("g", decode[g].tobytes().decode(), "")])
+    fm = build_fm_index(ref.codes, sa_interval=8, lut_k=8)
+    comp = np.array([3, 2, 1, 0], np.uint8)
+    n, L, ins = 40, 100, 300
+    r1 = np.zeros((n, L), np.uint8)
+    r2 = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        p = int(rng.integers(0, len(g) - ins))
+        r1[i] = g[p : p + L]
+        r2[i] = comp[g[p + ins - L : p + ins][::-1]]
+        if i % 3 == 0:  # junk pair: random bases, no hits anywhere
+            r1[i] = rng.integers(0, 4, L)
+            r2[i] = rng.integers(0, 4, L)
+    lens = np.full(n, L, np.int32)
+
+    def hitset(engine):
+        h = engine.align_pairs(r1, lens, r2, lens)
+        return {
+            (int(a), int(b), int(c), int(d), int(e))
+            for a, b, c, d, e in zip(h.read, h.end, h.score, h.start, h.stop)
+        }
+
+    e1 = AlignEngine(ref, fm, AlignParams(), device_seeding=True)
+    want = hitset(e1)
+    e2 = AlignEngine(ref, fm, AlignParams(), device_seeding=True)
+    e2.exact_rescue = False
+    assert hitset(e2) == want
+    e3 = AlignEngine(ref, fm, AlignParams(), device_seeding=True)
+    got_direct = {
+        (int(a), int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in zip(
+            *(getattr(e3._run_exact(r1, lens, r2, lens), f)
+              for f in ("read", "end", "score", "start", "stop"))
+        )
+    }
+    assert got_direct == want
